@@ -1,0 +1,182 @@
+"""Transformer building blocks (encoder Block, DecoderBlock, PatchEmbed).
+
+TPU-native (flax.linen) re-implementation of the backbone interface that the
+reference consumes from its absent croco submodule (interface reconstructed in
+SURVEY.md §1/L0; call contracts at reference dust3r/model.py:136-137,180-186).
+
+Conventions:
+  * tokens are (B, N, C); per-token integer positions are (B, N, 2) = (y, x)
+  * LayerNorm eps 1e-6, computed in fp32
+  * GELU is exact (erf-based), matching torch.nn.GELU
+  * qkv is one fused projection in self-attention; cross-attention has
+    separate q/k/v projections (torch-name-compatible: projq/projk/projv)
+  * `dtype` is the compute dtype (bf16 on TPU); params always fp32
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+import jax
+
+from ..ops.attention import attention
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in fp32, output cast back to input dtype."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32))
+        return y.astype(dt)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    dim: int
+    num_heads: int
+    rope_base: Optional[float] = 100.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None  # None=auto, 'ref', 'pallas'
+
+    @nn.compact
+    def __call__(self, x, pos):
+        B, N, C = x.shape
+        h = self.num_heads
+        d = C // h
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, h, d).transpose(2, 0, 3, 1, 4)  # (3, B, h, N, d)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        pos_r = pos if self.rope_base is not None else None
+        out = attention(q, k, v, pos_r, pos_r, self.rope_base or 0.0,
+                        impl=self.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class CrossAttention(nn.Module):
+    dim: int
+    num_heads: int
+    rope_base: Optional[float] = 100.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, query, key, value, qpos, kpos):
+        B, Nq, C = query.shape
+        Nk = key.shape[1]
+        h = self.num_heads
+        d = C // h
+        q = nn.Dense(C, dtype=self.dtype, name="projq")(query)
+        k = nn.Dense(C, dtype=self.dtype, name="projk")(key)
+        v = nn.Dense(C, dtype=self.dtype, name="projv")(value)
+        q = q.reshape(B, Nq, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Nk, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Nk, h, d).transpose(0, 2, 1, 3)
+        if self.rope_base is not None:
+            out = attention(q, k, v, qpos, kpos, self.rope_base, impl=self.attn_impl)
+        else:
+            out = attention(q, k, v, None, None, 0.0, impl=self.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Encoder block: pre-LN self-attention (with 2D RoPE) + MLP."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    rope_base: Optional[float] = 100.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pos):
+        x = x + SelfAttention(self.dim, self.num_heads, self.rope_base,
+                              self.dtype, self.attn_impl, name="attn")(
+            LayerNormF32(name="norm1")(x), pos)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+                    name="mlp")(LayerNormF32(name="norm2")(x))
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Decoder block: self-attn + cross-attn to the other view + MLP.
+
+    Called as blk(x, y, xpos, ypos) -> (x, y), matching the reference's
+    decoder contract (dust3r/model.py:180-186). norm_y normalizes the other
+    view's tokens before cross-attention (croco norm_im2_in_dec=True).
+    """
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    rope_base: Optional[float] = 100.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, y, xpos, ypos):
+        x = x + SelfAttention(self.dim, self.num_heads, self.rope_base,
+                              self.dtype, self.attn_impl, name="attn")(
+            LayerNormF32(name="norm1")(x), xpos)
+        y_ = LayerNormF32(name="norm_y")(y)
+        x = x + CrossAttention(self.dim, self.num_heads, self.rope_base,
+                               self.dtype, self.attn_impl, name="cross_attn")(
+            LayerNormF32(name="norm2")(x), y_, y_, xpos, ypos)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+                    name="mlp")(LayerNormF32(name="norm3")(x))
+        return x, y
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchifier producing tokens + integer (y, x) positions.
+
+    Input images are NHWC at their TRUE orientation (the TPU build compiles
+    one program per (H, W) bucket instead of the reference's
+    transposed-storage ManyAR trick - mathematically identical, see
+    reference dust3r/patch_embed.py:32-70).
+    """
+    patch_size: int = 16
+    embed_dim: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        B, H, W, C = img.shape
+        assert H % self.patch_size == 0 and W % self.patch_size == 0, \
+            f"image size {(H, W)} not divisible by patch size {self.patch_size}"
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", dtype=self.dtype, name="proj")(img)
+        Ht, Wt = H // self.patch_size, W // self.patch_size
+        x = x.reshape(B, Ht * Wt, self.embed_dim)
+        pos = token_positions(B, Ht, Wt)
+        return x, pos
+
+
+def token_positions(B, Ht, Wt):
+    """(B, Ht*Wt, 2) int32 (y, x) positions, row-major."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, (Ht, Wt), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (Ht, Wt), 1)
+    pos = jnp.stack([yy, xx], axis=-1).reshape(1, Ht * Wt, 2)
+    return jnp.broadcast_to(pos, (B, Ht * Wt, 2))

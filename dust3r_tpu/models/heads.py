@@ -1,0 +1,234 @@
+"""Prediction heads: linear (pixel-shuffle) and DPT, plus head postprocess.
+
+Behavioral contracts:
+  * postprocess / reg_dense_depth / reg_dense_conf:
+      reference dust3r/heads/postprocess.py:10-58
+  * LinearPts3d: reference dust3r/heads/linear_head.py:12-41
+  * DPT head: reference dust3r/heads/dpt_head.py:20-115 plus the croco/
+    MultiMAE DPTOutputAdapter trunk it consumes (submodule absent from the
+    mount; structure reconstructed: 4 hook projections, 3x3 RN convs,
+    4 fusion refinenets with residual conv units and align_corners=True
+    2x bilinear upsampling, regression output head).
+
+All heads take fp32 tokens (the model casts before calling, mirroring the
+reference's fp32-heads-under-AMP rule, dust3r/model.py:206-208) and NHWC
+feature maps.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from einops import rearrange
+
+Mode = Tuple[str, float, float]
+
+
+def reg_dense_depth(xyz, mode: Mode):
+    """Map raw xyz channels to 3D points. mode=('exp', -inf, inf) in all
+    published configs: direction * expm1(norm)."""
+    mode_name, vmin, vmax = mode
+    no_bounds = (vmin == -math.inf) and (vmax == math.inf)
+    assert no_bounds, "bounded depth modes are not used by any published config"
+    if mode_name == "linear":
+        return xyz
+    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    xyz = xyz / jnp.clip(d, 1e-8)
+    if mode_name == "square":
+        return xyz * jnp.square(d)
+    if mode_name == "exp":
+        return xyz * jnp.expm1(d)
+    raise ValueError(f"bad depth mode {mode_name}")
+
+
+def reg_dense_conf(x, mode: Mode):
+    """Map raw channel to confidence."""
+    mode_name, vmin, vmax = mode
+    if mode_name == "exp":
+        return vmin + jnp.minimum(jnp.exp(x), vmax - vmin)
+    if mode_name == "sigmoid":
+        return (vmax - vmin) * jax.nn.sigmoid(x) + vmin
+    raise ValueError(f"bad conf mode {mode_name}")
+
+
+def postprocess(fmap, depth_mode: Mode, conf_mode):
+    """fmap: (B, H, W, 3[+1]) NHWC raw head output -> dict(pts3d[, conf])."""
+    res = dict(pts3d=reg_dense_depth(fmap[..., 0:3], depth_mode))
+    if conf_mode is not None:
+        res["conf"] = reg_dense_conf(fmap[..., 3], conf_mode)
+    return res
+
+
+class LinearPts3d(nn.Module):
+    """Per-token linear projection to a (patch x patch) block of 3D points."""
+    patch_size: int
+    depth_mode: Mode
+    conf_mode: Mode
+    has_conf: bool = True
+
+    @nn.compact
+    def __call__(self, decout, img_shape):
+        H, W = img_shape
+        tokens = decout[-1]  # (B, S, D)
+        p = self.patch_size
+        nch = 3 + int(self.has_conf)
+        feat = nn.Dense(nch * p * p, dtype=jnp.float32, name="proj")(tokens)
+        feat = rearrange(feat, "b (h w) (c ph pw) -> b (h ph) (w pw) c",
+                         h=H // p, w=W // p, c=nch, ph=p, pw=p)
+        return postprocess(feat, self.depth_mode,
+                           self.conf_mode if self.has_conf else None)
+
+
+# ---------------------------------------------------------------------------
+# DPT head
+# ---------------------------------------------------------------------------
+
+def _interp_matrix(n_in, n_out, dtype=jnp.float32):
+    """(n_out, n_in) bilinear interpolation matrix, align_corners=True."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), dtype)
+    src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / max(n_out - 1, 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_in - 1)
+    w = (src - lo).astype(dtype)
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), dtype)
+    m = m.at[rows, lo].add(1 - w)
+    m = m.at[rows, hi].add(w)
+    return m
+
+
+def upsample2x_align_corners(x):
+    """NHWC bilinear 2x upsample with align_corners=True (torch parity).
+
+    Implemented as two small dense interpolation matmuls (MXU-friendly and
+    exactly reproducible, unlike jax.image.resize which has no
+    align_corners mode).
+    """
+    B, H, W, C = x.shape
+    mh = _interp_matrix(H, 2 * H, x.dtype)
+    mw = _interp_matrix(W, 2 * W, x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    x = jnp.einsum("ow,bhwc->bhoc", mw, x)
+    return x
+
+
+class _PatchExpand(nn.Module):
+    """Exact equivalent of torch ConvTranspose2d(k=s, stride=s): each input
+    pixel expands into an s x s block through a learned (in, out, s, s)
+    tensor. Implemented as one einsum (non-overlapping => no conv needed)."""
+    features: int
+    scale: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, Cin = x.shape
+        s = self.scale
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (Cin, self.features, s, s))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.einsum("bhwi,ioyx->bhywxo", x, w)
+        y = y.reshape(B, H * s, W * s, self.features) + b
+        return y
+
+
+class ResidualConvUnit(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, res=None):
+        out = x
+        if res is not None:
+            out = out + ResidualConvUnit(self.features, name="resConfUnit1")(res)
+        out = ResidualConvUnit(self.features, name="resConfUnit2")(out)
+        out = upsample2x_align_corners(out)
+        out = nn.Conv(self.features, (1, 1), name="out_conv")(out)
+        return out
+
+
+class DPTHead(nn.Module):
+    """DPT fusion trunk + regression head over 4 hooked decoder layers.
+
+    hooks index into the model's list of per-layer decoder outputs
+    (entry 0 = encoder output). Config from reference create_dpt_head
+    (dpt_head.py:96-115): feature_dim 256, layer_dims (96,192,384,768),
+    hooks (0, 6, 9, 12), dim_tokens (enc_dim, dec_dim, dec_dim, dec_dim).
+    """
+    patch_size: int
+    depth_mode: Mode
+    conf_mode: Mode
+    has_conf: bool = True
+    hooks: Sequence[int] = (0, 6, 9, 12)
+    layer_dims: Sequence[int] = (96, 192, 384, 768)
+    feature_dim: int = 256
+
+    @nn.compact
+    def __call__(self, decout, img_shape):
+        H, W = img_shape
+        p = self.patch_size
+        Nh, Nw = H // p, W // p
+        nch = 3 + int(self.has_conf)
+
+        layers = []
+        for idx, hook in enumerate(self.hooks):
+            t = decout[hook]  # (B, S, D)
+            x = t.reshape(t.shape[0], Nh, Nw, t.shape[-1])
+            # per-hook projection ("act_postprocess")
+            x = nn.Conv(self.layer_dims[idx], (1, 1),
+                        name=f"act_{idx}_proj")(x)
+            if idx == 0:
+                x = _PatchExpand(self.layer_dims[idx], 4, name="act_0_up4")(x)
+            elif idx == 1:
+                x = _PatchExpand(self.layer_dims[idx], 2, name="act_1_up2")(x)
+            elif idx == 3:
+                x = nn.Conv(self.layer_dims[idx], (3, 3), strides=(2, 2),
+                            padding=1, name="act_3_down2")(x)
+            # scratch projection to common feature dim
+            x = nn.Conv(self.feature_dim, (3, 3), padding=1, use_bias=False,
+                        name=f"layer{idx + 1}_rn")(x)
+            layers.append(x)
+
+        path4 = FeatureFusionBlock(self.feature_dim, name="refinenet4")(layers[3])
+        path4 = path4[:, :layers[2].shape[1], :layers[2].shape[2], :]
+        path3 = FeatureFusionBlock(self.feature_dim, name="refinenet3")(path4, layers[2])
+        path2 = FeatureFusionBlock(self.feature_dim, name="refinenet2")(path3, layers[1])
+        path1 = FeatureFusionBlock(self.feature_dim, name="refinenet1")(path2, layers[0])
+
+        # regression head: conv3x3 -> 2x upsample -> conv3x3 -> relu -> conv1x1
+        out = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, name="head_conv1")(path1)
+        out = upsample2x_align_corners(out)
+        out = nn.Conv(32, (3, 3), padding=1, name="head_conv2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(nch, (1, 1), name="head_conv3")(out)
+
+        return postprocess(out, self.depth_mode,
+                           self.conf_mode if self.has_conf else None)
+
+
+def head_factory(head_type, output_mode, *, patch_size, dec_depth,
+                 depth_mode, conf_mode, has_conf, name):
+    if output_mode != "pts3d":
+        raise NotImplementedError(f"unexpected {output_mode=}")
+    if head_type == "linear":
+        return LinearPts3d(patch_size, depth_mode, conf_mode, has_conf, name=name)
+    if head_type == "dpt":
+        assert dec_depth > 9
+        hooks = (0, dec_depth * 2 // 4, dec_depth * 3 // 4, dec_depth)
+        return DPTHead(patch_size, depth_mode, conf_mode, has_conf,
+                       hooks=hooks, name=name)
+    raise NotImplementedError(f"unexpected {head_type=}")

@@ -1,0 +1,181 @@
+"""AsymmetricCroCo3DStereo: siamese ViT encoder + twin cross-attention
+decoders + pointmap/confidence heads.
+
+Behavioral contract: reference dust3r/model.py:46-211 (forward semantics,
+head dispatch, fp32 heads) and the CroCo backbone interface it consumes
+(SURVEY.md L0). TPU-native design choices:
+
+  * NHWC images at their TRUE orientation; one XLA program per (H, W)
+    bucket (replaces the reference's transposed-storage ManyAR batching -
+    mathematically identical outputs).
+  * encode / decode / head exposed as separate apply-methods so the
+    inference pipeline can encode each unique image ONCE and reuse features
+    across all pairs of a scene graph (strictly generalizes the reference's
+    symmetrized-batch fast path, dust3r/model.py:162-166).
+  * compute dtype configurable (bf16 on TPU), params fp32, heads fp32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .blocks import Block, DecoderBlock, PatchEmbed, LayerNormF32
+from .heads import head_factory
+
+inf = math.inf
+
+
+class AsymmetricCroCo3DStereo(nn.Module):
+    # published config (README.md:318): ViT-L encoder / ViT-B decoder
+    img_size: Tuple[int, int] = (224, 224)
+    patch_size: int = 16
+    enc_embed_dim: int = 1024
+    enc_depth: int = 24
+    enc_num_heads: int = 16
+    dec_embed_dim: int = 768
+    dec_depth: int = 12
+    dec_num_heads: int = 12
+    mlp_ratio: float = 4.0
+    pos_embed: str = "RoPE100"
+    output_mode: str = "pts3d"
+    head_type: str = "linear"
+    depth_mode: Tuple[str, float, float] = ("exp", -inf, inf)
+    conf_mode: Optional[Tuple[str, float, float]] = ("exp", 1, inf)
+    landscape_only: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None  # None=auto, 'ref', 'pallas'
+
+    @property
+    def rope_base(self) -> Optional[float]:
+        if self.pos_embed.startswith("RoPE"):
+            return float(self.pos_embed[len("RoPE"):])
+        raise NotImplementedError(f"unsupported pos_embed {self.pos_embed}")
+
+    def setup(self):
+        self.patch_embed = PatchEmbed(self.patch_size, self.enc_embed_dim,
+                                      self.dtype, name="patch_embed")
+        self.enc_blocks = [
+            Block(self.enc_embed_dim, self.enc_num_heads, self.mlp_ratio,
+                  self.rope_base, self.dtype, self.attn_impl, name=f"enc_blocks_{i}")
+            for i in range(self.enc_depth)]
+        self.enc_norm = LayerNormF32(name="enc_norm")
+        self.decoder_embed = nn.Dense(self.dec_embed_dim, dtype=self.dtype,
+                                      name="decoder_embed")
+        self.dec_blocks = [
+            DecoderBlock(self.dec_embed_dim, self.dec_num_heads, self.mlp_ratio,
+                         self.rope_base, self.dtype, self.attn_impl,
+                         name=f"dec_blocks_{i}")
+            for i in range(self.dec_depth)]
+        self.dec_blocks2 = [
+            DecoderBlock(self.dec_embed_dim, self.dec_num_heads, self.mlp_ratio,
+                         self.rope_base, self.dtype, self.attn_impl,
+                         name=f"dec_blocks2_{i}")
+            for i in range(self.dec_depth)]
+        self.dec_norm = LayerNormF32(name="dec_norm")
+        has_conf = bool(self.conf_mode)
+        self.downstream_head1 = head_factory(
+            self.head_type, self.output_mode, patch_size=self.patch_size,
+            dec_depth=self.dec_depth, depth_mode=self.depth_mode,
+            conf_mode=self.conf_mode, has_conf=has_conf, name="downstream_head1")
+        self.downstream_head2 = head_factory(
+            self.head_type, self.output_mode, patch_size=self.patch_size,
+            dec_depth=self.dec_depth, depth_mode=self.depth_mode,
+            conf_mode=self.conf_mode, has_conf=has_conf, name="downstream_head2")
+
+    # ------------------------------------------------------------------ #
+    # stages (each is exposed via model.apply(..., method=...))
+    # ------------------------------------------------------------------ #
+
+    def encode(self, img):
+        """img: (B, H, W, 3) normalized, true orientation. -> (tokens, pos)."""
+        x, pos = self.patch_embed(img.astype(self.dtype))
+        for blk in self.enc_blocks:
+            x = blk(x, pos)
+        return self.enc_norm(x), pos
+
+    def decode(self, f1, pos1, f2, pos2):
+        """Dual-stream decoder; returns per-layer outputs for both sides.
+
+        Output: two lists of length dec_depth+1; entry 0 is the (normed)
+        encoder output, entries 1.. are decoder layer outputs, the last one
+        passed through dec_norm (reference dust3r/model.py:172-191).
+        """
+        out1 = [f1]
+        out2 = [f2]
+        x1 = self.decoder_embed(f1)
+        x2 = self.decoder_embed(f2)
+        for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
+            nx1, _ = blk1(x1, x2, pos1, pos2)
+            nx2, _ = blk2(x2, x1, pos2, pos1)
+            x1, x2 = nx1, nx2
+            out1.append(x1)
+            out2.append(x2)
+        out1[-1] = self.dec_norm(out1[-1])
+        out2[-1] = self.dec_norm(out2[-1])
+        return out1, out2
+
+    def head(self, head_num, decout, img_shape):
+        """Run downstream head `head_num` (1 or 2) in fp32."""
+        decout = [t.astype(jnp.float32) for t in decout]
+        h = self.downstream_head1 if head_num == 1 else self.downstream_head2
+        return h(decout, img_shape)
+
+    def __call__(self, img1, img2):
+        """Full pair forward. img1/img2: (B, H, W, 3) true orientation.
+
+        Returns (res1, res2): res1 = {pts3d, conf}; res2 =
+        {pts3d_in_other_view, conf} - view2's points in view1's frame.
+        """
+        shape1 = img1.shape[1:3]
+        shape2 = img2.shape[1:3]
+        if shape1 == shape2:
+            # shared-shape fast path: one encoder batch (model.py:142-151)
+            feat, pos = self.encode(jnp.concatenate([img1, img2], axis=0))
+            B = img1.shape[0]
+            f1, f2 = feat[:B], feat[B:]
+            pos1, pos2 = pos[:B], pos[B:]
+        else:
+            f1, pos1 = self.encode(img1)
+            f2, pos2 = self.encode(img2)
+
+        dec1, dec2 = self.decode(f1, pos1, f2, pos2)
+        res1 = self.head(1, dec1, shape1)
+        res2 = self.head(2, dec2, shape2)
+        res2["pts3d_in_other_view"] = res2.pop("pts3d")
+        return res1, res2
+
+
+# ---------------------------------------------------------------------- #
+# published configurations
+# ---------------------------------------------------------------------- #
+
+def dust3r_224_linear(**kw) -> AsymmetricCroCo3DStereo:
+    """DUSt3R_ViTLarge_BaseDecoder_224_linear (README.md:330)."""
+    kw.setdefault("img_size", (224, 224))
+    kw.setdefault("head_type", "linear")
+    return AsymmetricCroCo3DStereo(**kw)
+
+
+def dust3r_512_linear(**kw) -> AsymmetricCroCo3DStereo:
+    """DUSt3R_ViTLarge_BaseDecoder_512_linear (README.md:376)."""
+    kw.setdefault("img_size", (512, 512))
+    kw.setdefault("head_type", "linear")
+    return AsymmetricCroCo3DStereo(**kw)
+
+
+def dust3r_512_dpt(**kw) -> AsymmetricCroCo3DStereo:
+    """DUSt3R_ViTLarge_BaseDecoder_512_dpt (README.md:388)."""
+    kw.setdefault("img_size", (512, 512))
+    kw.setdefault("head_type", "dpt")
+    return AsymmetricCroCo3DStereo(**kw)
+
+
+NAMED_MODELS = {
+    "DUSt3R_ViTLarge_BaseDecoder_224_linear": dust3r_224_linear,
+    "DUSt3R_ViTLarge_BaseDecoder_512_linear": dust3r_512_linear,
+    "DUSt3R_ViTLarge_BaseDecoder_512_dpt": dust3r_512_dpt,
+}

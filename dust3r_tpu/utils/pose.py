@@ -1,0 +1,169 @@
+"""Pose parametrizations: quaternions, sim(3) helpers, signed log/exp maps.
+
+Replaces the reference's use of the `roma` library (quat<->rotmat, rigid
+point registration) with native JAX; behavioral contract from
+/root/reference/dust3r/cloud_opt/commons.py:70-82 and
+/root/reference/dust3r/cloud_opt/init_im_poses.py:218-229.
+
+Quaternion convention: XYZW (same as roma), rotation acting as R(q) @ v.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def signed_log1p(x):
+    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
+
+
+def signed_expm1(x):
+    return jnp.sign(x) * jnp.expm1(jnp.abs(x))
+
+
+def quat_normalize(q, eps=1e-12):
+    return q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+
+
+def quat_to_rotmat(q):
+    """Unit quaternion (..., 4) [x,y,z,w] -> rotation matrix (..., 3, 3)."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    m = jnp.stack([
+        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+    ], axis=-1)
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def rotmat_to_quat(R):
+    """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4) [x,y,z,w].
+
+    Branch-free (jit-safe) Shepperd-style extraction: build all four
+    candidate quaternions and pick the numerically best one.
+    """
+    R = jnp.asarray(R)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    tr = m00 + m11 + m22
+    # four candidates (unnormalized), keyed by which diagonal term dominates
+    qw = jnp.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)          # w-major
+    qx = jnp.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
+    qy = jnp.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], axis=-1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], axis=-1)
+    # candidates give (w,x,y,z); reorder to (x,y,z,w)
+    def wxyz_to_xyzw(q):
+        return jnp.concatenate([q[..., 1:], q[..., :1]], axis=-1)
+    cands = jnp.stack([wxyz_to_xyzw(qw), wxyz_to_xyzw(qx),
+                       wxyz_to_xyzw(qy), wxyz_to_xyzw(qz)], axis=-2)  # (...,4cand,4)
+    scores = jnp.stack([1 + tr, 1 + m00 - m11 - m22,
+                        1 - m00 + m11 - m22, 1 - m00 - m11 + m22], axis=-1)
+    best = jnp.argmax(scores, axis=-1)
+    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2).squeeze(-2)
+    return quat_normalize(q)
+
+
+def pose_vec_to_matrix(vec):
+    """(..., >=7) [qx qy qz qw tx ty tz (log s)] -> (..., 4, 4) cam2world.
+
+    Translation stored through signed_log1p; mirrors the reference's pose
+    parametrization (base_opt.py:150-160).
+    """
+    q = quat_normalize(vec[..., :4])
+    T = signed_expm1(vec[..., 4:7])
+    R = quat_to_rotmat(q)
+    top = jnp.concatenate([R, T[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=vec.dtype), vec.shape[:-1] + (1, 4))
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def matrix_to_pose_vec(M, scale=None, pose_dim=7):
+    """Inverse of pose_vec_to_matrix for initialization (host-friendly).
+
+    Returns (..., pose_dim(+1)) vector; if scale given appends log(scale) and
+    divides translation by scale first (reference _set_pose, base_opt.py:162-181).
+    """
+    M = jnp.asarray(M)
+    q = rotmat_to_quat(M[..., :3, :3])
+    T = M[..., :3, 3]
+    if scale is not None:
+        T = T / scale
+    t = signed_log1p(T)
+    vec = jnp.concatenate([q, t], axis=-1)
+    if scale is not None:
+        logs = jnp.log(jnp.broadcast_to(jnp.asarray(scale, dtype=M.dtype), M.shape[:-2] + (1,)))
+        vec = jnp.concatenate([vec, logs], axis=-1)
+    return vec
+
+
+def sRT_to_4x4(scale, R, T, dtype=jnp.float32):
+    """Build [[s*R, T], [0, 1]] (reference init_im_poses.py:232-236)."""
+    R = jnp.asarray(R, dtype)
+    T = jnp.asarray(T, dtype).reshape(3)
+    trf = jnp.eye(4, dtype=dtype)
+    trf = trf.at[:3, :3].set(R * scale)
+    trf = trf.at[:3, 3].set(T)
+    return trf
+
+
+def rigid_points_registration(pts1, pts2, weights=None, compute_scaling=True):
+    """Weighted Umeyama: find (s, R, T) minimizing ||s R pts1 + T - pts2||^2.
+
+    pts: (N, 3); weights: (N,) nonnegative. Returns (s, R, T) with R (3,3),
+    T (3,). Native replacement for roma.rigid_points_registration.
+    """
+    pts1 = jnp.asarray(pts1).reshape(-1, 3)
+    pts2 = jnp.asarray(pts2).reshape(-1, 3)
+    if weights is None:
+        w = jnp.ones(pts1.shape[0], dtype=pts1.dtype)
+    else:
+        w = jnp.asarray(weights).reshape(-1).astype(pts1.dtype)
+    wsum = jnp.clip(jnp.sum(w), 1e-12)
+    wn = (w / wsum)[:, None]
+
+    mu1 = jnp.sum(wn * pts1, axis=0)
+    mu2 = jnp.sum(wn * pts2, axis=0)
+    c1 = pts1 - mu1
+    c2 = pts2 - mu2
+
+    cov = (wn * c1).T @ c2  # (3,3): sum_i w_i c1_i c2_i^T -> transposed below
+    U, S, Vt = jnp.linalg.svd(cov.T)  # cov.T maps pts1-space -> pts2-space
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], pts1.dtype)).at[2, 2].set(d)
+    R = U @ D @ Vt
+
+    if compute_scaling:
+        var1 = jnp.sum(wn * jnp.sum(c1 * c1, axis=-1, keepdims=True))
+        s = jnp.sum(S * jnp.diag(D)) / jnp.clip(var1, 1e-12)
+    else:
+        s = jnp.asarray(1.0, pts1.dtype)
+    T = mu2 - s * (R @ mu1)
+    return s, R, T
+
+
+def align_multiple_poses(src_poses, target_poses):
+    """sim(3) aligning one set of cam2world poses onto another.
+
+    Matches reference align_multiple_poses (init_im_poses.py:308-316): register
+    camera centers plus a point eps along each z-axis.
+    """
+    from .geometry import get_med_dist_between_poses
+
+    src_poses = jnp.asarray(src_poses)
+    target_poses = jnp.asarray(target_poses)
+
+    def center_and_z(poses):
+        eps = get_med_dist_between_poses(np.asarray(poses)) / 100
+        centers = poses[:, :3, 3]
+        zdir = poses[:, :3, 3] + eps * poses[:, :3, 2]
+        return jnp.concatenate([centers, zdir], axis=0)
+
+    s, R, T = rigid_points_registration(center_and_z(src_poses), center_and_z(target_poses))
+    return s, R, T
