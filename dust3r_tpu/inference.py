@@ -1,0 +1,260 @@
+"""Pairwise inference engine.
+
+Behavioral contract: /root/reference/dust3r/inference.py:32-78 (the
+{view1, view2, pred1, pred2} output dict). TPU-native redesign:
+
+  * each UNIQUE image is encoded exactly once per scene and its encoder
+    tokens are reused across every pair it participates in - this strictly
+    generalizes the reference's symmetrized-batch fast path
+    (dust3r/model.py:162-166): for a complete symmetrized graph of N
+    images the encoder does N forward passes instead of N*(N-1).
+  * pairs are grouped by (shape1, shape2) bucket and padded to a fixed
+    batch size, so each bucket compiles exactly one XLA program
+    (no recompile storms across aspect ratios).
+  * all batches run async on device; host sync happens once at the end.
+"""
+from __future__ import annotations
+
+import functools
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_batch(arrs, bs):
+    """Stack list of (H, W, C) arrays and pad batch dim up to bs."""
+    x = np.stack(arrs, axis=0)
+    if len(arrs) < bs:
+        pad = np.repeat(x[-1:], bs - len(arrs), axis=0)
+        x = np.concatenate([x, pad], axis=0)
+    return x
+
+
+class InferenceEngine:
+    """Compiled two-view inference over a scene graph.
+
+    model: AsymmetricCroCo3DStereo (module definition)
+    params: its variables (as returned by model.init or the checkpoint
+    converter)
+    """
+
+    def __init__(self, model, params, batch_size=8):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+
+        self._encode = jax.jit(
+            lambda p, img: model.apply(p, img, method="encode"))
+
+        @functools.partial(jax.jit, static_argnums=(5, 6))
+        def _decode_head(p, f1, pos1, f2, pos2, shape1, shape2):
+            dec1, dec2 = model.apply(p, f1, pos1, f2, pos2, method="decode")
+            res1 = model.apply(p, 1, dec1, shape1, method="head")
+            res2 = model.apply(p, 2, dec2, shape2, method="head")
+            res2["pts3d_in_other_view"] = res2.pop("pts3d")
+            return res1, res2
+
+        self._decode_head = _decode_head
+
+    # ------------------------------------------------------------------ #
+
+    def encode_views(self, views):
+        """Encode unique view dicts; returns {id(view): (feat, pos)}.
+
+        Views are grouped by image shape; each group runs in padded
+        batches of self.batch_size.
+        """
+        unique = {}
+        for v in views:
+            unique.setdefault(id(v), v)
+
+        by_shape = defaultdict(list)
+        for key, v in unique.items():
+            img = np.asarray(v["img"])
+            assert img.ndim == 4 and img.shape[0] == 1, "views hold (1,H,W,3)"
+            by_shape[img.shape[1:3]].append(key)
+
+        feats = {}
+        for shape, keys in by_shape.items():
+            for i in range(0, len(keys), self.batch_size):
+                chunk = keys[i:i + self.batch_size]
+                imgs = _pad_batch([np.asarray(unique[k]["img"])[0] for k in chunk],
+                                  self.batch_size)
+                f, pos = self._encode(self.params, jnp.asarray(imgs))
+                for n, k in enumerate(chunk):
+                    feats[k] = (f[n], pos[n])
+        return feats
+
+    def infer_pairs(self, pairs, verbose=False):
+        """Run the two-view model over a list of (view1, view2) dict pairs.
+
+        Returns the reference-format output dict with numpy predictions.
+        """
+        views = [v for pair in pairs for v in pair]
+        feats = self.encode_views(views)
+
+        # group pair indices by (shape1, shape2)
+        by_bucket = defaultdict(list)
+        for n, (v1, v2) in enumerate(pairs):
+            s1 = tuple(np.asarray(v1["img"]).shape[1:3])
+            s2 = tuple(np.asarray(v2["img"]).shape[1:3])
+            by_bucket[(s1, s2)].append(n)
+
+        pred1 = [None] * len(pairs)
+        pred2 = [None] * len(pairs)
+        bs = self.batch_size
+        for (s1, s2), idxs in by_bucket.items():
+            for i in range(0, len(idxs), bs):
+                chunk = idxs[i:i + bs]
+                f1 = [feats[id(pairs[n][0])] for n in chunk]
+                f2 = [feats[id(pairs[n][1])] for n in chunk]
+                pad = bs - len(chunk)
+                stack = lambda xs: jnp.concatenate(
+                    [jnp.stack(xs)] + ([jnp.stack(xs[-1:] * pad)] if pad else []))
+                r1, r2 = self._decode_head(
+                    self.params,
+                    stack([a for a, _ in f1]), stack([p for _, p in f1]),
+                    stack([a for a, _ in f2]), stack([p for _, p in f2]),
+                    s1, s2)
+                for m, n in enumerate(chunk):
+                    pred1[n] = {k: v[m] for k, v in r1.items()}
+                    pred2[n] = {k: v[m] for k, v in r2.items()}
+
+        # single host sync
+        pred1, pred2 = jax.device_get((pred1, pred2))
+
+        multiple_shapes = len(by_bucket) > 1
+        return collate_inference_output(pairs, pred1, pred2, multiple_shapes)
+
+
+def collate_inference_output(pairs, pred1, pred2, multiple_shapes):
+    """Build the reference-format result dict.
+
+    Uniform shapes: stacked numpy arrays. Mixed shapes: python lists
+    (matching reference inference.py:70 `lists=multiple_shapes`).
+    """
+    def collate_views(views):
+        out = {}
+        keys = views[0].keys()
+        for k in keys:
+            vals = [v[k] for v in views]
+            if k == "img":
+                vals = [np.asarray(v)[0] for v in vals]
+                out[k] = vals if multiple_shapes else np.stack(vals)
+            elif k == "true_shape":
+                out[k] = np.concatenate([np.asarray(v) for v in vals])
+            elif isinstance(vals[0], (int, np.integer)):
+                out[k] = list(vals)
+            else:
+                out[k] = list(vals)
+        return out
+
+    def collate_preds(preds):
+        out = {}
+        for k in preds[0].keys():
+            vals = [np.asarray(p[k]) for p in preds]
+            out[k] = vals if multiple_shapes else np.stack(vals)
+        return out
+
+    return dict(
+        view1=collate_views([p[0] for p in pairs]),
+        view2=collate_views([p[1] for p in pairs]),
+        pred1=collate_preds(pred1),
+        pred2=collate_preds(pred2),
+    )
+
+
+def inference(pairs, model, params=None, batch_size=8, verbose=True):
+    """Reference-compatible entry point (inference.py:55-72).
+
+    model: either an InferenceEngine or a module definition (then params
+    must be given).
+    """
+    if verbose:
+        print(f">> Inference with model on {len(pairs)} image pairs")
+    engine = model if isinstance(model, InferenceEngine) else \
+        InferenceEngine(model, params, batch_size)
+    return engine.infer_pairs(pairs, verbose=verbose)
+
+
+# ------------------------------------------------------------------ #
+# prediction decoding helpers (reference inference.py:81-150)
+# ------------------------------------------------------------------ #
+
+def get_pred_pts3d(gt, pred, use_pose=False):
+    from .utils.geometry import depthmap_to_pts3d, geotrf
+
+    if "depth" in pred and "pseudo_focal" in pred:
+        pp = gt["camera_intrinsics"][..., :2, 2] if "camera_intrinsics" in gt else None
+        pts3d = depthmap_to_pts3d(pred["depth"], pred["pseudo_focal"], pp=pp)
+    elif "pts3d" in pred:
+        pts3d = pred["pts3d"]
+    elif "pts3d_in_other_view" in pred:
+        assert use_pose is True
+        return pred["pts3d_in_other_view"]
+
+    if use_pose:
+        camera_pose = pred.get("camera_pose")
+        assert camera_pose is not None
+        pts3d = geotrf(camera_pose, pts3d)
+    return pts3d
+
+
+def find_opt_scaling(gt_pts1, gt_pts2, pr_pts1, pr_pts2=None,
+                     fit_mode="weiszfeld_stop_grad", valid1=None, valid2=None):
+    """Optimal per-sample scaling aligning GT onto predictions.
+
+    Masked-JAX reimplementation of reference find_opt_scaling
+    (inference.py:106-150); invalid pixels are excluded via masks instead
+    of NaNs.
+    """
+    from .utils.geometry import masked_mean, masked_median
+
+    assert gt_pts1.ndim == pr_pts1.ndim == 4
+
+    def flat(x):
+        return x.reshape(x.shape[0], -1, 3) if x is not None else None
+
+    def flatm(m, like):
+        if m is None:
+            return jnp.ones(like.shape[:-1], bool).reshape(like.shape[0], -1)
+        return m.reshape(m.shape[0], -1)
+
+    gt1, pr1 = flat(gt_pts1), flat(pr_pts1)
+    m1 = flatm(valid1, gt_pts1)
+    if gt_pts2 is not None:
+        gt2, pr2 = flat(gt_pts2), flat(pr_pts2)
+        m2 = flatm(valid2, gt_pts2)
+        all_gt = jnp.concatenate([gt1, gt2], axis=1)
+        all_pr = jnp.concatenate([pr1, pr2], axis=1)
+        mask = jnp.concatenate([m1, m2], axis=1)
+    else:
+        all_gt, all_pr, mask = gt1, pr1, m1
+
+    dot_gt_pr = jnp.sum(all_pr * all_gt, axis=-1)
+    dot_gt_gt = jnp.sum(all_gt * all_gt, axis=-1)
+
+    if fit_mode.startswith("avg"):
+        scaling = masked_mean(dot_gt_pr, mask, axis=1) / \
+            masked_mean(dot_gt_gt, mask, axis=1)
+    elif fit_mode.startswith("median"):
+        scaling = masked_median(dot_gt_pr / jnp.clip(dot_gt_gt, 1e-12), mask, axis=1)
+    elif fit_mode.startswith("weiszfeld"):
+        scaling = masked_mean(dot_gt_pr, mask, axis=1) / \
+            masked_mean(dot_gt_gt, mask, axis=1)
+
+        def body(_, scaling):
+            dis = jnp.linalg.norm(all_pr - scaling[:, None, None] * all_gt, axis=-1)
+            w = 1.0 / jnp.clip(dis, 1e-8)
+            return masked_mean(w * dot_gt_pr, mask, axis=1) / \
+                masked_mean(w * dot_gt_gt, mask, axis=1)
+
+        scaling = jax.lax.fori_loop(0, 10, body, scaling)
+    else:
+        raise ValueError(f"bad fit_mode {fit_mode}")
+
+    if fit_mode.endswith("stop_grad"):
+        scaling = jax.lax.stop_gradient(scaling)
+    return jnp.clip(scaling, 1e-3)
