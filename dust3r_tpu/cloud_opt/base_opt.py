@@ -1,0 +1,379 @@
+"""Scene-graph container + shared accessors for the global aligner.
+
+Behavioral contract: /root/reference/dust3r/cloud_opt/base_opt.py:27-405.
+TPU-native redesign: the scene is a pytree of stacked, zero-padded edge
+tensors from the start (the reference reaches the same layout only in its
+"fast" subclass, optimizer.py:41-61); all parameters live in one params
+dict; optimization runs as a single jitted lax.scan (see optimizer.py).
+Host-side state (edge lists, image shapes, conf maps) stays in numpy.
+"""
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .commons import (ALL_DISTS, compute_edge_scores, edge_str, get_conf_trf,
+                      get_imshapes)
+from ..utils.geometry import xy_grid, geotrf, inv
+from ..utils.pose import (matrix_to_pose_vec, pose_vec_to_matrix,
+                          quat_normalize, signed_expm1)
+from ..utils.image import rgb
+
+
+def _ravel_pad(arr, fill):
+    """(H, W, ...) -> (H*W, ...) zero-padded to length `fill`."""
+    arr = np.asarray(arr, dtype=np.float32)
+    flat = arr.reshape((arr.shape[0] * arr.shape[1],) + arr.shape[2:])
+    if len(flat) < fill:
+        pad = np.zeros((fill - len(flat),) + flat.shape[1:], np.float32)
+        flat = np.concatenate([flat, pad])
+    return flat
+
+
+def _as_list(x, n):
+    """Predictions arrive stacked (uniform shapes) or as lists (mixed)."""
+    if isinstance(x, (list, tuple)):
+        return [np.asarray(v) for v in x]
+    x = np.asarray(x)
+    return [x[k] for k in range(n)]
+
+
+class BasePCOptimizer:
+    """Graph of images (nodes) and pairwise predictions (edges).
+
+    Parameters optimized (the `params` dict pytree):
+      pw_poses    (E, 8)  per-edge sim(3): quat(4) + signed-log t(3) + log s
+      pw_adaptors (E, 2)  per-edge xy/z scale adaptation (off by default)
+    Subclasses add per-image params (depthmaps, poses, focals, pp).
+    """
+
+    POSE_DIM = 7
+
+    def __init__(self, view1, view2, pred1, pred2,
+                 dist="l1",
+                 conf="log",
+                 min_conf_thr=3,
+                 base_scale=0.5,
+                 allow_pw_adaptors=False,
+                 pw_break=20,
+                 rand_pose=None,
+                 seed=0,
+                 verbose=True,
+                 **_ignored):
+        self.verbose = verbose
+        self.min_conf_thr = min_conf_thr
+        self.base_scale = base_scale
+        self.pw_break = pw_break
+        self.norm_pw_scale = True
+        self.has_im_poses = False
+        self.dist_mode = dist
+        self.dist = ALL_DISTS[dist]
+        self.conf_mode = conf
+        self.conf_trf = get_conf_trf(conf)
+
+        idx1 = [int(i) for i in np.asarray(view1["idx"]).reshape(-1)]
+        idx2 = [int(j) for j in np.asarray(view2["idx"]).reshape(-1)]
+        self.edges = list(zip(idx1, idx2))
+        self.is_symmetrized = set(self.edges) == {(j, i) for i, j in self.edges}
+        self.n_imgs = self._check_edges()
+
+        E = self.n_edges
+        pred_i = _as_list(pred1["pts3d"], E)
+        pred_j = _as_list(pred2["pts3d_in_other_view"], E)
+        conf_i = _as_list(pred1["conf"], E)
+        conf_j = _as_list(pred2["conf"], E)
+
+        self.imshapes = get_imshapes(self.edges, pred_i, pred_j)
+        im_areas = [h * w for h, w in self.imshapes]
+        self.max_area = max(im_areas)
+        self.im_areas = im_areas
+        A = self.max_area
+
+        # per-edge raw predictions and confidences (host copies for init)
+        self.pred_i = {edge_str(i, j): pred_i[e]
+                       for e, (i, j) in enumerate(self.edges)}
+        self.pred_j = {edge_str(i, j): pred_j[e]
+                       for e, (i, j) in enumerate(self.edges)}
+        self.conf_i = {edge_str(i, j): conf_i[e]
+                       for e, (i, j) in enumerate(self.edges)}
+        self.conf_j = {edge_str(i, j): conf_j[e]
+                       for e, (i, j) in enumerate(self.edges)}
+
+        # stacked device tensors
+        self._stacked_pred_i = jnp.asarray(
+            np.stack([_ravel_pad(p, A) for p in pred_i]))
+        self._stacked_pred_j = jnp.asarray(
+            np.stack([_ravel_pad(p, A) for p in pred_j]))
+        # pre-transformed conf weights; padding has weight exactly 0
+        w_i = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_i]
+        w_j = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_j]
+        self._weight_i = jnp.asarray(np.stack([_ravel_pad(w, A) for w in w_i]))
+        self._weight_j = jnp.asarray(np.stack([_ravel_pad(w, A) for w in w_j]))
+        self._ei = jnp.asarray([i for i, j in self.edges])
+        self._ej = jnp.asarray([j for i, j in self.edges])
+        self.total_area_i = sum(im_areas[i] for i, j in self.edges)
+        self.total_area_j = sum(im_areas[j] for i, j in self.edges)
+
+        # per-image max-confidence maps
+        self.im_conf = self._compute_img_conf(conf_i, conf_j)
+
+        # learnable pairwise pose parameters
+        rng = np.random.default_rng(seed)
+        if rand_pose is None:
+            rand_pose = lambda shape: rng.standard_normal(shape).astype(np.float32)
+        self.rand_pose = rand_pose
+        self.params = {
+            "pw_poses": jnp.asarray(rand_pose((E, 1 + self.POSE_DIM))),
+            "pw_adaptors": jnp.zeros((E, 2), jnp.float32),
+        }
+        self.masks = {
+            "pw_poses": jnp.ones((E, 1 + self.POSE_DIM), jnp.float32),
+            "pw_adaptors": jnp.full((E, 2), float(allow_pw_adaptors), jnp.float32),
+        }
+
+        # keep display images if provided
+        self.imgs = None
+        if "img" in view1 and "img" in view2:
+            imgs = [None] * self.n_imgs
+            img1 = _as_list(view1["img"], E)
+            img2 = _as_list(view2["img"], E)
+            for e in range(E):
+                imgs[idx1[e]] = img1[e]
+                imgs[idx2[e]] = img2[e]
+            self.imgs = [rgb(im) for im in imgs]
+
+    # ------------------------------------------------------------------ #
+    # basic graph properties
+    # ------------------------------------------------------------------ #
+
+    @property
+    def n_edges(self):
+        return len(self.edges)
+
+    @property
+    def str_edges(self):
+        return [edge_str(i, j) for i, j in self.edges]
+
+    @property
+    def imsizes(self):
+        return [(w, h) for h, w in self.imshapes]
+
+    def _check_edges(self):
+        indices = sorted({i for e in self.edges for i in e})
+        assert indices == list(range(len(indices))), \
+            "bad pair indices: missing values"
+        return len(indices)
+
+    def _compute_img_conf(self, conf_i, conf_j):
+        im_conf = [np.zeros(hw, np.float32) for hw in self.imshapes]
+        for e, (i, j) in enumerate(self.edges):
+            im_conf[i] = np.maximum(im_conf[i], conf_i[e])
+            im_conf[j] = np.maximum(im_conf[j], conf_j[e])
+        return im_conf
+
+    def edge_scores(self):
+        conf_i = [self.conf_i[s] for s in self.str_edges]
+        conf_j = [self.conf_j[s] for s in self.str_edges]
+        return compute_edge_scores(self.edges, conf_i, conf_j)
+
+    # ------------------------------------------------------------------ #
+    # pairwise pose access
+    # ------------------------------------------------------------------ #
+
+    def get_adaptors(self, params=None):
+        p = (params or self.params)["pw_adaptors"]
+        adapt = jnp.concatenate([p[:, 0:1], p], axis=-1)  # (sxy, sxy, sz)
+        if self.norm_pw_scale:
+            adapt = adapt - jnp.mean(adapt, axis=1, keepdims=True)
+        return jnp.exp(adapt / self.pw_break)
+
+    def get_pw_norm_scale_factor(self, params=None):
+        if self.norm_pw_scale:
+            p = (params or self.params)["pw_poses"]
+            return jnp.exp(np.log(self.base_scale) - jnp.mean(p[:, -1]))
+        return jnp.asarray(1.0)
+
+    def get_pw_scale(self, params=None):
+        p = (params or self.params)["pw_poses"]
+        return jnp.exp(p[:, -1]) * self.get_pw_norm_scale_factor(params)
+
+    def get_pw_poses(self, params=None):
+        p = (params or self.params)["pw_poses"]
+        RT = pose_vec_to_matrix(p[:, :7])
+        scale = self.get_pw_scale(params)
+        return RT.at[:, :3].multiply(scale[:, None, None])
+
+    # ------------------------------------------------------------------ #
+    # host-side parameter writes (init & presets)
+    # ------------------------------------------------------------------ #
+
+    def _set_pose(self, name, idx, pose_or_R, T=None, scale=None, force=False):
+        """Write a pose into params[name][idx] (host op, respects masks
+        unless force)."""
+        mask = np.asarray(self.masks[name][idx])
+        if not (mask.any() or force):
+            return
+        pose_or_R = np.asarray(pose_or_R)
+        if pose_or_R.shape == (4, 4):
+            assert T is None
+            M = pose_or_R
+        else:
+            M = np.eye(4, dtype=np.float32)
+            M[:3, :3] = pose_or_R
+            M[:3, 3] = np.asarray(T).reshape(3)
+        vec = np.asarray(matrix_to_pose_vec(M, scale=scale))
+        cur = np.array(self.params[name])
+        cur[idx, :len(vec)] = vec
+        self.params[name] = jnp.asarray(cur)
+
+    def get_masks(self):
+        return [c > self.min_conf_thr for c in self.im_conf]
+
+    def get_conf(self, mode=None):
+        trf = self.conf_trf if mode is None else get_conf_trf(mode)
+        return [np.asarray(trf(jnp.asarray(c))) for c in self.im_conf]
+
+    # subclass responsibilities ----------------------------------------- #
+
+    def depth_to_pts3d(self, params=None):
+        raise NotImplementedError
+
+    def get_pts3d(self, raw=False, params=None):
+        res = self.depth_to_pts3d(params)
+        if not raw:
+            res = [res[n, :h * w].reshape(h, w, 3)
+                   for n, (h, w) in enumerate(self.imshapes)]
+        return res
+
+    def get_im_poses(self):
+        raise NotImplementedError
+
+    def get_focals(self):
+        raise NotImplementedError
+
+    def get_principal_points(self):
+        raise NotImplementedError
+
+    def get_depthmaps(self, raw=False):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ #
+    # loss (pure function of params - used by the scan loop and forward)
+    # ------------------------------------------------------------------ #
+
+    def loss_fn(self, params):
+        """Confidence-weighted 3D consistency over all edges."""
+        pw_poses = self.get_pw_poses(params)
+        pw_adapt = self.get_adaptors(params)[:, None, :]  # (E,1,3)
+        proj_pts3d = self.depth_to_pts3d(params)  # (N, A, 3)
+
+        aligned_pred_i = geotrf(pw_poses, pw_adapt * self._stacked_pred_i)
+        aligned_pred_j = geotrf(pw_poses, pw_adapt * self._stacked_pred_j)
+
+        li = jnp.sum(self.dist(proj_pts3d[self._ei], aligned_pred_i,
+                               self._weight_i)) / self.total_area_i
+        lj = jnp.sum(self.dist(proj_pts3d[self._ej], aligned_pred_j,
+                               self._weight_j)) / self.total_area_j
+        return li + lj
+
+    def forward(self):
+        return float(self.loss_fn(self.params))
+
+    __call__ = forward
+
+    # ------------------------------------------------------------------ #
+    # main entry point
+    # ------------------------------------------------------------------ #
+
+    def compute_global_alignment(self, init=None, niter_PnP=10, **kw):
+        from . import init_im_poses as init_fun
+
+        if init is None:
+            pass
+        elif init in ("msp", "mst"):
+            init_fun.init_minimum_spanning_tree(self, niter_PnP=niter_PnP)
+        elif init == "known_poses":
+            init_fun.init_from_known_poses(self, min_conf_thr=self.min_conf_thr,
+                                           niter_PnP=niter_PnP)
+        else:
+            raise ValueError(f"bad value for init={init!r}")
+
+        from .optimizer import global_alignment_loop
+        return global_alignment_loop(self, **kw)
+
+    # ------------------------------------------------------------------ #
+    # post-processing
+    # ------------------------------------------------------------------ #
+
+    def mask_sky(self):
+        from ..viz import segment_sky
+
+        res = copy.deepcopy(self)
+        for i in range(self.n_imgs):
+            sky = segment_sky(self.imgs[i])
+            res.im_conf[i] = np.where(sky, 0.0, res.im_conf[i])
+        return res
+
+    def clean_pointcloud(self, tol=0.001, bad_conf=0, max_bad_conf=None):
+        """Lower the confidence of points occluded by more-confident
+        geometry in other views (reference base_opt.py:369-405).
+
+        Vectorized per source image over all target cameras.
+        """
+        assert 0 <= tol < 1
+        K = np.asarray(self.get_intrinsics())
+        cams = np.asarray(inv(self.get_im_poses()))  # world2cam
+        depthmaps = [np.asarray(d) for d in self.get_depthmaps()]
+        all_pts3d = [np.asarray(p) for p in self.get_pts3d()]
+        res = [c.copy() for c in self.im_conf]
+
+        # pad depth/conf of each target view for vectorized gather
+        for i, pts3d in enumerate(all_pts3d):
+            for j in range(self.n_imgs):
+                if i == j:
+                    continue
+                Hj, Wj = self.imshapes[j]
+                proj = geotrf(cams[j], pts3d)  # (H,W,3) in cam j
+                proj = np.asarray(proj)
+                z = proj[..., 2]
+                uv = np.asarray(geotrf(K[j], proj, norm=1, ncol=2))
+                u = np.round(uv[..., 0]).astype(np.int64)
+                v = np.round(uv[..., 1]).astype(np.int64)
+                msk = (z > 0) & (u >= 0) & (u < Wj) & (v >= 0) & (v < Hj)
+                uc, vc = np.clip(u, 0, Wj - 1), np.clip(v, 0, Hj - 1)
+                depth_j = depthmaps[j][vc, uc]
+                conf_j = res[j][vc, uc]
+                bad = msk & (z < (1 - tol) * depth_j) & (res[i] < conf_j)
+                res[i] = np.where(bad, np.minimum(res[i], bad_conf), res[i])
+
+        self.im_conf = res
+        return self
+
+    def get_dense_pts3d(self):
+        """Convenience: (pts3d list, depthmaps list, confs list)."""
+        return self.get_pts3d(), self.get_depthmaps(), \
+            [np.asarray(c) for c in self.im_conf]
+
+    def show(self, **kw):
+        from ..viz import SceneViz, auto_cam_size
+
+        viz = SceneViz()
+        if self.imgs is None:
+            colors = np.random.randint(0, 256, size=(self.n_imgs, 3))
+            colors = list(map(tuple, colors.tolist()))
+            for n in range(self.n_imgs):
+                viz.add_pointcloud(self.get_pts3d()[n], colors[n],
+                                   self.get_masks()[n])
+        else:
+            viz.add_pointcloud(self.get_pts3d(), self.imgs, self.get_masks())
+            colors = np.random.randint(256, size=(self.n_imgs, 3))
+        im_poses = np.asarray(self.get_im_poses())
+        cam_size = kw.pop("cam_size", None) or auto_cam_size(im_poses)
+        viz.add_cameras(im_poses, np.asarray(self.get_focals()), colors=colors,
+                        images=self.imgs, imsizes=self.imsizes,
+                        cam_size=cam_size)
+        viz.show(**kw)
+        return viz

@@ -1,0 +1,269 @@
+"""PointCloudOptimizer: the fast, fully-vectorized global aligner.
+
+Behavioral contract: /root/reference/dust3r/cloud_opt/optimizer.py:16-248
+and the Adam loop of base_opt.py:326-366. TPU-native redesign: the whole
+niter-step Adam optimization is ONE jitted lax.scan over stacked edge
+tensors - no per-iteration host round-trips (the reference pays a python
+loop + CUDA launches per iter; this is where the iters/sec headroom lives,
+SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .base_opt import BasePCOptimizer, _ravel_pad
+from .commons import make_lr_schedule
+from ..utils.geometry import xy_grid, geotrf
+from ..utils.pose import pose_vec_to_matrix
+
+
+class PointCloudOptimizer(BasePCOptimizer):
+    """Adds per-image learnables: log-depthmaps, 7-dof poses, log-focals
+    (scaled by focal_break), optional principal points."""
+
+    def __init__(self, *args, optimize_pp=False, focal_break=20, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.has_im_poses = True
+        self.focal_break = focal_break
+        self.optimize_pp = optimize_pp
+
+        N, A = self.n_imgs, self.max_area
+        rng = np.random.default_rng(1)
+
+        depth_init = np.stack([
+            _ravel_pad(rng.standard_normal(hw).astype(np.float32) / 10 - 3, A)
+            for hw in self.imshapes])
+        self.params.update({
+            "im_depthmaps": jnp.asarray(depth_init),  # log depth, (N, A)
+            "im_poses": jnp.asarray(self.rand_pose((N, self.POSE_DIM))),
+            "im_focals": jnp.asarray([[focal_break * np.log(max(hw))]
+                                      for hw in self.imshapes], jnp.float32),
+            "im_pp": jnp.zeros((N, 2), jnp.float32),
+        })
+        self.masks.update({
+            "im_depthmaps": jnp.ones((N, A), jnp.float32),
+            "im_poses": jnp.ones((N, self.POSE_DIM), jnp.float32),
+            "im_focals": jnp.ones((N, 1), jnp.float32),
+            "im_pp": jnp.full((N, 2), float(optimize_pp), jnp.float32),
+        })
+
+        self._pp_base = jnp.asarray([(w / 2, h / 2) for h, w in self.imshapes],
+                                    jnp.float32)
+        self._grid = jnp.asarray(np.stack([
+            _ravel_pad(np.asarray(xy_grid(w, h)), A) for h, w in self.imshapes]))
+
+    # ------------------------------------------------------------------ #
+    # presets (known poses / intrinsics)
+    # ------------------------------------------------------------------ #
+
+    def _get_msk_indices(self, msk):
+        if msk is None:
+            return list(range(self.n_imgs))
+        if isinstance(msk, int):
+            return [msk]
+        msk = np.asarray(msk)
+        if msk.dtype == bool:
+            assert len(msk) == self.n_imgs
+            return list(np.where(msk)[0])
+        return [int(i) for i in msk.reshape(-1)]
+
+    def _freeze(self, name, indices):
+        m = np.array(self.masks[name])
+        m[np.asarray(indices)] = 0.0
+        self.masks[name] = jnp.asarray(m)
+
+    def preset_pose(self, known_poses, pose_msk=None):
+        idxs = self._get_msk_indices(pose_msk)
+        known_poses = np.asarray(known_poses)
+        if known_poses.ndim == 2:
+            known_poses = known_poses[None]
+        for idx, pose in zip(idxs, known_poses):
+            if self.verbose:
+                print(f" (setting pose #{idx} = {pose[:3, 3]})")
+            self._set_pose("im_poses", idx, pose, force=True)
+        n_known = len(idxs)
+        self.norm_pw_scale = n_known <= 1
+        self._freeze("im_poses", idxs)
+
+    def preset_focal(self, known_focals, msk=None):
+        idxs = self._get_msk_indices(msk)
+        for idx, focal in zip(idxs, np.atleast_1d(np.asarray(known_focals))):
+            if self.verbose:
+                print(f" (setting focal #{idx} = {focal})")
+            self._set_focal(idx, float(focal), force=True)
+        self._freeze("im_focals", idxs)
+
+    def preset_principal_point(self, known_pp, msk=None):
+        idxs = self._get_msk_indices(msk)
+        known_pp = np.asarray(known_pp).reshape(-1, 2)
+        for idx, pp in zip(idxs, known_pp):
+            if self.verbose:
+                print(f" (setting principal point #{idx} = {pp})")
+            self._set_principal_point(idx, pp, force=True)
+        self._freeze("im_pp", idxs)
+
+    def preset_intrinsics(self, known_K, msk=None):
+        known_K = np.asarray(known_K)
+        if known_K.ndim == 2:
+            known_K = known_K[None]
+        self.preset_focal([K.diagonal()[:2].mean() for K in known_K], msk)
+        self.preset_principal_point([K[:2, 2] for K in known_K], msk)
+
+    # ------------------------------------------------------------------ #
+    # parameter writes
+    # ------------------------------------------------------------------ #
+
+    def _set_focal(self, idx, focal, force=False):
+        if np.asarray(self.masks["im_focals"][idx]).any() or force:
+            cur = np.array(self.params["im_focals"])
+            cur[idx] = self.focal_break * np.log(focal)
+            self.params["im_focals"] = jnp.asarray(cur)
+
+    def _set_principal_point(self, idx, pp, force=False):
+        if np.asarray(self.masks["im_pp"][idx]).any() or force:
+            h, w = self.imshapes[idx]
+            cur = np.array(self.params["im_pp"])
+            cur[idx] = (np.asarray(pp) - (w / 2, h / 2)) / 10
+            self.params["im_pp"] = jnp.asarray(cur)
+
+    def _set_depthmap(self, idx, depth, force=False):
+        depth = np.asarray(depth, np.float32)
+        logd = np.log(depth, out=np.zeros_like(depth),
+                      where=depth > 0)  # log; <=0 -> 0 (ref nan_to_num)
+        if np.asarray(self.masks["im_depthmaps"][idx]).any() or force:
+            cur = np.array(self.params["im_depthmaps"])
+            cur[idx] = _ravel_pad(logd.reshape(self.imshapes[idx]), self.max_area)
+            self.params["im_depthmaps"] = jnp.asarray(cur)
+
+    # ------------------------------------------------------------------ #
+    # accessors
+    # ------------------------------------------------------------------ #
+
+    def get_focals(self, params=None):
+        p = (params or self.params)["im_focals"]
+        return jnp.exp(p / self.focal_break)  # (N, 1)
+
+    def get_known_focal_mask(self):
+        return ~np.asarray(self.masks["im_focals"][:, 0]).astype(bool)
+
+    def get_principal_points(self, params=None):
+        p = (params or self.params)["im_pp"]
+        return self._pp_base + 10 * p
+
+    def get_intrinsics(self):
+        focals = np.asarray(self.get_focals()).reshape(-1)
+        pp = np.asarray(self.get_principal_points())
+        K = np.zeros((self.n_imgs, 3, 3), np.float32)
+        K[:, 0, 0] = K[:, 1, 1] = focals
+        K[:, :2, 2] = pp
+        K[:, 2, 2] = 1
+        return jnp.asarray(K)
+
+    def get_im_poses(self, params=None):
+        p = (params or self.params)["im_poses"]
+        return pose_vec_to_matrix(p)
+
+    def get_depthmaps(self, raw=False, params=None):
+        d = jnp.exp((params or self.params)["im_depthmaps"])
+        if raw:
+            return d
+        return [d[n, :h * w].reshape(h, w)
+                for n, (h, w) in enumerate(self.imshapes)]
+
+    def depth_to_pts3d(self, params=None):
+        params = params or self.params
+        focals = self.get_focals(params)  # (N,1)
+        pp = self.get_principal_points(params)  # (N,2)
+        im_poses = self.get_im_poses(params)  # (N,4,4)
+        depth = self.get_depthmaps(raw=True, params=params)  # (N,A)
+        rel = jnp.concatenate([
+            depth[..., None] * (self._grid - pp[:, None, :]) / focals[:, :, None],
+            depth[..., None]], axis=-1)  # (N, A, 3)
+        return geotrf(im_poses, rel)
+
+
+# ---------------------------------------------------------------------- #
+# the jitted optimization loop
+# ---------------------------------------------------------------------- #
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run_alignment(loss_fn, params, masks, lrs):
+    """Scan Adam(0.9, 0.9) over the precomputed LR schedule.
+
+    Returns (final params, per-iter losses). Frozen entries receive zero
+    gradient via the masks (their Adam moments stay exactly zero).
+    """
+    opt = optax.scale_by_adam(b1=0.9, b2=0.9)
+    opt_state = opt.init(params)
+
+    def step(carry, lr):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(lambda g, m: g * m, grads, masks)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        return (params, opt_state), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), lrs)
+    return params, losses
+
+
+def global_alignment_loop(scene, lr=0.01, niter=300, schedule="cosine",
+                          lr_min=1e-6):
+    """Run the full alignment on device; one compile, zero host round-trips.
+
+    Matches reference global_alignment_loop defaults
+    (base_opt.py:326-337). Returns the final loss (float).
+    """
+    any_trainable = any(bool(np.asarray(m).any()) for m in scene.masks.values())
+    if not any_trainable:
+        return float("nan")
+    if scene.verbose:
+        print("Global alignment - optimizing for:")
+        print([k for k, m in scene.masks.items() if np.asarray(m).any()])
+
+    lrs = make_lr_schedule(schedule, niter, lr, lr_min)
+    params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
+                                    dict(scene.masks), lrs)
+    scene.params = params  # stays on device
+    scene.last_losses = np.asarray(losses)
+    final = float(scene.loss_fn(scene.params))
+    if scene.verbose:
+        print(f" final loss = {final:g}")
+    return final
+
+
+class ModularPointCloudOptimizer(PointCloudOptimizer):
+    """Preset-friendly variant (reference modular_optimizer.py:17-145).
+
+    The TPU build's PointCloudOptimizer already supports per-image
+    freezing via gradient masks, so this subclass only preserves the
+    reference's preset semantics differences: presets don't require ALL
+    images to be covered, and norm_pw_scale follows the known-pose count.
+    (fx != fy is not yet supported.)
+    """
+
+    def __init__(self, *args, optimize_pp=False, fx_and_fy=False,
+                 focal_brake=20, **kwargs):
+        assert not fx_and_fy, "fx_and_fy not supported yet"
+        super().__init__(*args, optimize_pp=optimize_pp,
+                         focal_break=focal_brake, **kwargs)
+
+    def preset_pose(self, known_poses, pose_msk=None):
+        idxs = self._get_msk_indices(pose_msk)
+        known_poses = np.asarray(known_poses)
+        if known_poses.ndim == 2:
+            known_poses = known_poses[None]
+        for idx, pose in zip(idxs, known_poses):
+            if self.verbose:
+                print(f" (setting pose #{idx} = {pose[:3, 3]})")
+            self._set_pose("im_poses", idx, pose, force=True)
+        self._freeze("im_poses", idxs)
+        n_known = int(self.n_imgs - np.asarray(
+            self.masks["im_poses"]).any(axis=1).sum())
+        self.norm_pw_scale = n_known <= 1

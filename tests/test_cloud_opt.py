@@ -1,0 +1,186 @@
+import numpy as np
+import pytest
+
+from dust3r_tpu.cloud_opt import (global_aligner, GlobalAlignerMode,
+                                  PointCloudOptimizer, PairViewer)
+from dust3r_tpu.utils.geometry import (xy_grid, geotrf, inv,
+                                       depthmap_to_absolute_camera_coordinates)
+
+
+def make_synthetic_scene(n_imgs=4, H=24, W=32, focal=40.0, seed=0,
+                         symmetrize=True):
+    """Fabricate perfectly consistent pairwise predictions from a known
+    scene: per-image smooth depth + circular camera rig."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+
+    poses = []
+    world_pts = []
+    depths = []
+    for k in range(n_imgs):
+        ang = 0.25 * k
+        R = np.array([[np.cos(ang), 0, np.sin(ang)],
+                      [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+        t = np.array([np.sin(ang) * 2, 0.1 * k, -2 * np.cos(ang)], np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3], pose[:3, 3] = R, t
+        poses.append(pose)
+
+        yy, xx = np.mgrid[:H, :W]
+        depth = (2.5 + 0.5 * np.sin(xx / 7 + k) * np.cos(yy / 5)
+                 + 0.05 * rng.standard_normal((H, W))).astype(np.float32)
+        depths.append(depth)
+        wpts, _ = depthmap_to_absolute_camera_coordinates(depth, K, pose)
+        world_pts.append(np.asarray(wpts))
+
+    edges = [(i, j) for i in range(n_imgs) for j in range(n_imgs) if i != j] \
+        if symmetrize else [(i, j) for i in range(n_imgs) for j in range(i)]
+
+    pred1_pts, pred2_pts, conf1, conf2 = [], [], [], []
+    for i, j in edges:
+        w2c = np.asarray(inv(poses[i]))
+        pred1_pts.append(np.asarray(geotrf(w2c, world_pts[i])))
+        pred2_pts.append(np.asarray(geotrf(w2c, world_pts[j])))
+        conf1.append(np.full((H, W), 3.5, np.float32) +
+                     rng.uniform(0, 1, (H, W)).astype(np.float32))
+        conf2.append(np.full((H, W), 3.5, np.float32) +
+                     rng.uniform(0, 1, (H, W)).astype(np.float32))
+
+    out = dict(
+        view1=dict(idx=[i for i, j in edges],
+                   img=np.zeros((len(edges), H, W, 3), np.float32)),
+        view2=dict(idx=[j for i, j in edges],
+                   img=np.zeros((len(edges), H, W, 3), np.float32)),
+        pred1=dict(pts3d=np.stack(pred1_pts), conf=np.stack(conf1)),
+        pred2=dict(pts3d_in_other_view=np.stack(pred2_pts),
+                   conf=np.stack(conf2)),
+    )
+    return out, poses, depths, focal
+
+
+def relpose(p0, p1):
+    return np.asarray(inv(p0)) @ np.asarray(p1)
+
+
+def angular_error_deg(R1, R2):
+    cos = (np.trace(R1.T @ R2) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+class TestPointCloudOptimizer:
+    @pytest.fixture(scope="class")
+    def aligned(self):
+        out, poses, depths, focal = make_synthetic_scene()
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False)
+        loss = scene.compute_global_alignment(init="mst", niter=150,
+                                              schedule="cosine", lr=0.01)
+        return scene, poses, depths, focal, loss
+
+    def test_loss_converges(self, aligned):
+        scene, *_, loss = aligned
+        assert np.isfinite(loss)
+        assert loss < 0.03, f"alignment loss too high: {loss}"
+        # loss decreased over iterations
+        assert scene.last_losses[-1] < scene.last_losses[10]
+
+    def test_focals_recovered(self, aligned):
+        scene, poses, depths, focal, _ = aligned
+        focals = np.asarray(scene.get_focals()).reshape(-1)
+        np.testing.assert_allclose(focals, focal, rtol=0.05)
+
+    def test_relative_poses_recovered(self, aligned):
+        scene, poses, *_ = aligned
+        est = np.asarray(scene.get_im_poses())
+        for k in range(1, len(poses)):
+            gt_rel = relpose(poses[0], poses[k])
+            est_rel = relpose(est[0], est[k])
+            assert angular_error_deg(gt_rel[:3, :3], est_rel[:3, :3]) < 3.0
+            # translation direction (scale-free)
+            tg = gt_rel[:3, 3] / np.linalg.norm(gt_rel[:3, 3])
+            te = est_rel[:3, 3] / np.linalg.norm(est_rel[:3, 3])
+            assert np.dot(tg, te) > 0.99
+
+    def test_depthmaps_recovered_up_to_scale(self, aligned):
+        scene, poses, depths, *_ = aligned
+        est = scene.get_depthmaps()
+        ratios = [np.median(np.asarray(e) / d) for e, d in zip(est, depths)]
+        # one global scale, consistent across images
+        np.testing.assert_allclose(ratios, np.mean(ratios), rtol=0.05)
+        for e, d, r in zip(est, depths, ratios):
+            np.testing.assert_allclose(np.asarray(e), d * r, rtol=0.1)
+
+    def test_accessor_shapes(self, aligned):
+        scene, *_ = aligned
+        n = scene.n_imgs
+        assert np.asarray(scene.get_im_poses()).shape == (n, 4, 4)
+        assert np.asarray(scene.get_intrinsics()).shape == (n, 3, 3)
+        pts = scene.get_pts3d()
+        assert len(pts) == n and np.asarray(pts[0]).shape == (24, 32, 3)
+        masks = scene.get_masks()
+        assert masks[0].shape == (24, 32) and masks[0].dtype == bool
+        conf = scene.get_conf()
+        assert len(conf) == n
+
+    def test_pts3d_consistent_with_pose_and_depth(self, aligned):
+        scene, *_ = aligned
+        pts = np.asarray(scene.get_pts3d()[0])
+        depth = np.asarray(scene.get_depthmaps()[0])
+        K = np.asarray(scene.get_intrinsics()[0])
+        pose = np.asarray(scene.get_im_poses()[0])
+        pts_ref, _ = depthmap_to_absolute_camera_coordinates(depth, K, pose)
+        np.testing.assert_allclose(pts, np.asarray(pts_ref), atol=1e-3)
+
+
+class TestCleanAndMisc:
+    def test_clean_pointcloud_runs(self):
+        out, *_ = make_synthetic_scene(n_imgs=3)
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False)
+        scene.compute_global_alignment(init="mst", niter=20, lr=0.01)
+        scene.clean_pointcloud()
+        assert all(np.isfinite(c).all() for c in scene.im_conf)
+
+    def test_no_init_alignment(self):
+        out, *_ = make_synthetic_scene(n_imgs=3)
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False)
+        loss = scene.compute_global_alignment(init=None, niter=10, lr=0.01)
+        assert np.isfinite(loss)
+
+
+class TestPresets:
+    def test_preset_pose_and_focal(self):
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False)
+        scene.preset_pose([poses[0], poses[1], poses[2]])
+        scene.preset_focal([focal] * 3)
+        loss = scene.compute_global_alignment(init="known_poses", niter=100,
+                                              lr=0.01)
+        assert loss < 0.05
+        est = np.asarray(scene.get_im_poses())
+        for k in range(3):
+            np.testing.assert_allclose(est[k], poses[k], atol=1e-4)
+        focals = np.asarray(scene.get_focals()).reshape(-1)
+        np.testing.assert_allclose(focals, focal, rtol=1e-5)
+        # absolute scale is pinned by the known poses
+        for e, d in zip(scene.get_depthmaps(), depths):
+            np.testing.assert_allclose(np.asarray(e), d, rtol=0.15)
+
+
+class TestPairViewer:
+    def test_two_image_scene(self):
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=2)
+        scene = global_aligner(out, mode=GlobalAlignerMode.PairViewer,
+                               verbose=False)
+        focals = np.asarray(scene.get_focals())
+        np.testing.assert_allclose(focals, focal, rtol=0.05)
+        est = np.asarray(scene.get_im_poses())
+        gt_rel = relpose(poses[0], poses[1])
+        est_rel = relpose(est[0], est[1])
+        assert angular_error_deg(gt_rel[:3, :3], est_rel[:3, :3]) < 2.0
+        pts = scene.get_pts3d()
+        assert len(pts) == 2
+        assert np.isnan(scene.forward())
