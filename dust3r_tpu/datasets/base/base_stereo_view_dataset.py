@@ -1,0 +1,179 @@
+"""Base class for stereo-view training datasets.
+
+Behavioral contract:
+/root/reference/dust3r/datasets/base/base_stereo_view_dataset.py:17-221.
+Subclasses implement `_get_views(idx, resolution, rng)` returning two view
+dicts with {img (PIL), depthmap, camera_pose (c2w), camera_intrinsics,
+dataset, label, instance}; the base computes pts3d + valid_mask, applies
+the image transform (NHWC float32 - the TPU layout), transposes portrait
+views to landscape storage and records RNG state for reproducibility.
+"""
+from __future__ import annotations
+
+import numpy as np
+import PIL.Image
+
+from .easy_dataset import EasyDataset
+from ..utils.transforms import ImgNorm
+from ..utils import cropping
+from ...utils.geometry import depthmap_to_absolute_camera_coordinates
+
+
+class BaseStereoViewDataset(EasyDataset):
+    def __init__(self, *, split=None, resolution=None, transform=ImgNorm,
+                 aug_crop=False, seed=None):
+        self.num_views = 2
+        self.split = split
+        self._set_resolutions(resolution)
+        if isinstance(transform, str):
+            from ..utils import transforms as _t
+            transform = getattr(_t, transform.replace("+", "And"), ImgNorm)
+        self.transform = transform
+        self.aug_crop = aug_crop
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def get_stats(self):
+        return f"{len(self)} pairs"
+
+    def __repr__(self):
+        res = "[" + ";".join(f"{w}x{h}" for w, h in self._resolutions) + "]"
+        return (f"{type(self).__name__}({self.get_stats()}, split={self.split}, "
+                f"seed={self.seed}, resolutions={res})")
+
+    def _get_views(self, idx, resolution, rng):
+        raise NotImplementedError
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            idx, ar_idx = idx
+        else:
+            assert len(self._resolutions) == 1
+            ar_idx = 0
+
+        if self.seed:
+            self._rng = np.random.default_rng(seed=self.seed + idx)
+        elif not hasattr(self, "_rng"):
+            self._rng = np.random.default_rng(
+                seed=int(np.random.SeedSequence().entropy % (2 ** 63)))
+
+        resolution = self._resolutions[ar_idx]
+        views = self._get_views(idx, resolution, self._rng)
+        assert len(views) == self.num_views
+
+        for v, view in enumerate(views):
+            assert "pts3d" not in view and "valid_mask" not in view, \
+                "pts3d/valid_mask are computed here from depth+K+pose"
+            view["idx"] = (idx, ar_idx, v)
+
+            width, height = view["img"].size
+            view["true_shape"] = np.int32((height, width))
+            view["img"] = self.transform(view["img"])  # (H, W, 3) float32
+
+            assert "camera_intrinsics" in view
+            if "camera_pose" not in view:
+                view["camera_pose"] = np.full((4, 4), np.nan, np.float32)
+            else:
+                assert np.isfinite(view["camera_pose"]).all(), \
+                    f"NaN in camera pose for view {view_name(view)}"
+            assert np.isfinite(view["depthmap"]).all(), \
+                f"NaN in depthmap for view {view_name(view)}"
+
+            pts3d, valid_mask = depthmap_to_absolute_camera_coordinates(
+                view["depthmap"], view["camera_intrinsics"],
+                view["camera_pose"])
+            pts3d = np.asarray(pts3d)
+            view["pts3d"] = pts3d
+            view["valid_mask"] = (np.asarray(valid_mask)
+                                  & np.isfinite(pts3d).all(axis=-1))
+
+            for key, val in view.items():
+                good, err = is_good_type(key, val)
+                assert good, f"{err} with {key}={val} for {view_name(view)}"
+
+        for view in views:
+            transpose_to_landscape(view)
+            view["rng"] = int.from_bytes(self._rng.bytes(4), "big")
+        return views
+
+    def _set_resolutions(self, resolutions):
+        assert resolutions is not None, "undefined resolution"
+        if not isinstance(resolutions, list):
+            resolutions = [resolutions]
+        self._resolutions = []
+        for resolution in resolutions:
+            if isinstance(resolution, int):
+                width = height = resolution
+            else:
+                width, height = resolution
+            assert isinstance(width, int) and isinstance(height, int)
+            assert width >= height
+            self._resolutions.append((width, height))
+
+    def _crop_resize_if_necessary(self, image, depthmap, intrinsics,
+                                  resolution, rng=None, info=None):
+        """Principal-point-centered crop -> Lanczos rescale (+aug_crop
+        jitter) -> intrinsics-consistent final crop."""
+        if not isinstance(image, PIL.Image.Image):
+            image = PIL.Image.fromarray(image)
+
+        W, H = image.size
+        cx, cy = intrinsics[:2, 2].round().astype(int)
+        min_margin_x = min(cx, W - cx)
+        min_margin_y = min(cy, H - cy)
+        l, t = cx - min_margin_x, cy - min_margin_y
+        r, b = cx + min_margin_x, cy + min_margin_y
+        image, depthmap, intrinsics = cropping.crop_image_depthmap(
+            image, depthmap, intrinsics, (l, t, r, b))
+
+        W, H = image.size
+        assert resolution[0] >= resolution[1]
+        if H > 1.1 * W:
+            resolution = resolution[::-1]  # portrait
+        elif 0.9 < H / W < 1.1 and resolution[0] != resolution[1]:
+            if rng.integers(2):  # square: coin-flip orientation
+                resolution = resolution[::-1]
+
+        target_resolution = np.array(resolution)
+        if self.aug_crop > 1:
+            target_resolution += rng.integers(0, self.aug_crop)
+        image, depthmap, intrinsics = cropping.rescale_image_depthmap(
+            image, depthmap, intrinsics, target_resolution)
+
+        intrinsics2 = cropping.camera_matrix_of_crop(
+            intrinsics, image.size, resolution, offset_factor=0.5)
+        crop_bbox = cropping.bbox_from_intrinsics_in_out(
+            intrinsics, intrinsics2, resolution)
+        image, depthmap, intrinsics2 = cropping.crop_image_depthmap(
+            image, depthmap, intrinsics, crop_bbox)
+        return image, depthmap, intrinsics2
+
+
+def is_good_type(key, v):
+    if isinstance(v, (str, int, tuple)):
+        return True, None
+    if v.dtype not in (np.float32, bool, np.bool_, np.int32, np.int64,
+                       np.uint8):
+        return False, f"bad dtype={v.dtype}"
+    return True, None
+
+
+def view_name(view, batch_index=None):
+    def sel(x):
+        return x[batch_index] if batch_index not in (None, slice(None)) else x
+    return f"{sel(view['dataset'])}/{sel(view['label'])}/{sel(view['instance'])}"
+
+
+def transpose_to_landscape(view):
+    """Store portrait views transposed so batches are shape-uniform.
+
+    NHWC layout: img is (H, W, 3)."""
+    height, width = view["true_shape"]
+    if width < height:
+        view["img"] = view["img"].swapaxes(0, 1)
+        view["valid_mask"] = view["valid_mask"].swapaxes(0, 1)
+        view["depthmap"] = view["depthmap"].swapaxes(0, 1)
+        view["pts3d"] = view["pts3d"].swapaxes(0, 1)
+        view["camera_intrinsics"] = view["camera_intrinsics"][[1, 0, 2]]

@@ -1,0 +1,62 @@
+"""Image transforms (torch-free; output NHWC float32 numpy).
+
+Behavioral contract: /root/reference/dust3r/datasets/utils/transforms.py
+(ImgNorm = ToTensor + Normalize(0.5, 0.5); ColorJitter(0.5,0.5,0.5,0.1)).
+"""
+from __future__ import annotations
+
+import numpy as np
+import PIL.Image
+from PIL import ImageEnhance
+
+
+def ImgNorm(img):
+    """PIL -> (H, W, 3) float32 in [-1, 1]."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return (arr - 0.5) / 0.5
+
+
+class ColorJitter:
+    """Random brightness/contrast/saturation/hue jitter, PIL-based.
+
+    Matches torchvision ColorJitter semantics: factors drawn uniformly
+    from [max(0, 1-v), 1+v] (hue from [-h, h]), applied in random order.
+    """
+
+    def __init__(self, brightness=0.5, contrast=0.5, saturation=0.5, hue=0.1,
+                 rng=None):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img: PIL.Image.Image) -> PIL.Image.Image:
+        rng = self.rng
+        ops = []
+        if self.brightness:
+            f = rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
+            ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+        if self.contrast:
+            f2 = rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
+            ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f2))
+        if self.saturation:
+            f3 = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
+            ops.append(lambda im: ImageEnhance.Color(im).enhance(f3))
+        if self.hue:
+            h = rng.uniform(-self.hue, self.hue)
+
+            def shift_hue(im, h=h):
+                hsv = np.array(im.convert("HSV"))
+                hsv[..., 0] = (hsv[..., 0].astype(np.int16)
+                               + int(h * 255)) % 255
+                return PIL.Image.fromarray(hsv, "HSV").convert("RGB")
+            ops.append(shift_hue)
+        order = rng.permutation(len(ops))
+        for i in order:
+            img = ops[i](img)
+        return img
+
+
+def ColorJitterAndNorm(img, rng=None):
+    return ImgNorm(ColorJitter(rng=rng)(img))
