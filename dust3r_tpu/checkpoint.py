@@ -1,0 +1,273 @@
+"""Checkpointing: orbax save/load + one-way torch-.pth -> flax converter.
+
+Behavioral contract: reference checkpoint semantics (SURVEY.md §5):
+checkpoint dict {args, model, optimizer, epoch, best_so_far} with the
+architecture string persisted and re-parsed at load (dust3r/model.py:27-43,
+but parsed into typed kwargs instead of raw eval); single-decoder
+checkpoints are duplicated into dec_blocks2 (model.py:91-98).
+
+The torch converter maps the published checkpoints' ~600 tensors onto the
+flax param tree: Linear/Conv weights transposed to (in, out) / HWIO, the
+DPT patch-expand layers copied directly (torch ConvTranspose layout is this
+module's native layout).
+"""
+from __future__ import annotations
+
+import ast
+import math
+import os
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------- #
+# orbax-based native checkpointing
+# ---------------------------------------------------------------------- #
+
+def save_checkpoint(path, state, metadata=None):
+    """Save a train/eval state pytree (orbax StandardCheckpointer)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    if metadata is not None:
+        import json
+        with open(os.path.join(path, "dust3r_meta.json"), "w") as f:
+            json.dump(metadata, f)
+
+
+def load_checkpoint(path, target=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, target)
+    meta_path = os.path.join(path, "dust3r_meta.json")
+    metadata = None
+    if os.path.exists(meta_path):
+        import json
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return state, metadata
+
+
+# ---------------------------------------------------------------------- #
+# architecture-string parsing (replaces the reference's raw eval)
+# ---------------------------------------------------------------------- #
+
+def parse_arch_string(arch):
+    """'AsymmetricCroCo3DStereo(a=1, b=(2, 3), ...)' -> kwargs dict.
+
+    Safe replacement for the reference's eval (model.py:27-43); supports
+    the tokens appearing in published configs (inf, tuples, strings).
+    """
+    m = re.match(r"\s*(\w+)\((.*)\)\s*$", arch, re.S)
+    assert m, f"cannot parse arch string: {arch!r}"
+    name, argstr = m.groups()
+    assert name == "AsymmetricCroCo3DStereo", f"unknown architecture {name}"
+    # make it literal_eval-able: inf -> 1e999 (parses to float inf)
+    argstr = re.sub(r"(?<![\w.])inf(?![\w.])", "float('inf')", argstr)
+    tree = ast.parse(f"dict({argstr})", mode="eval")
+
+    def ev(node):
+        if isinstance(node, ast.Call):
+            if getattr(node.func, "id", None) == "dict":
+                return {kw.arg: ev(kw.value) for kw in node.keywords}
+            if getattr(node.func, "id", None) == "float":
+                return float(ev(node.args[0]))
+            raise ValueError(f"unsupported call in arch string: {ast.dump(node)}")
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.Tuple):
+            return tuple(ev(e) for e in node.elts)
+        if isinstance(node, ast.List):
+            return [ev(e) for e in node.elts]
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -ev(node.operand)
+        if isinstance(node, ast.Name) and node.id == "inf":
+            return math.inf
+        raise ValueError(f"unsupported node in arch string: {ast.dump(node)}")
+
+    kwargs = ev(tree.body)
+    kwargs.pop("patch_embed_cls", None)  # TPU build has one patch embed
+    return kwargs
+
+
+def model_from_arch_string(arch, landscape_only=False, **overrides):
+    from .models.model import AsymmetricCroCo3DStereo
+
+    kwargs = parse_arch_string(arch)
+    kwargs["landscape_only"] = landscape_only
+    kwargs.update(overrides)
+    # img_size may arrive as a bare int
+    if isinstance(kwargs.get("img_size"), int):
+        kwargs["img_size"] = (kwargs["img_size"], kwargs["img_size"])
+    return AsymmetricCroCo3DStereo(**kwargs)
+
+
+# ---------------------------------------------------------------------- #
+# torch state-dict conversion
+# ---------------------------------------------------------------------- #
+
+def _set(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _linear(sd, tree, tname, fpath):
+    _set(tree, fpath + ("kernel",), np.ascontiguousarray(sd[tname + ".weight"].T))
+    if tname + ".bias" in sd:
+        _set(tree, fpath + ("bias",), sd[tname + ".bias"])
+
+
+def _conv(sd, tree, tname, fpath, bias=True):
+    w = sd[tname + ".weight"]  # (out, in, kh, kw) -> (kh, kw, in, out)
+    _set(tree, fpath + ("kernel",), np.ascontiguousarray(w.transpose(2, 3, 1, 0)))
+    if bias and tname + ".bias" in sd:
+        _set(tree, fpath + ("bias",), sd[tname + ".bias"])
+
+
+def _convT(sd, tree, tname, fpath):
+    # torch ConvTranspose2d weight (in, out, kh, kw) == _PatchExpand layout
+    _set(tree, fpath + ("kernel",), sd[tname + ".weight"])
+    _set(tree, fpath + ("bias",), sd[tname + ".bias"])
+
+
+def _ln(sd, tree, tname, fpath):
+    _set(tree, fpath + ("ln", "scale"), sd[tname + ".weight"])
+    _set(tree, fpath + ("ln", "bias"), sd[tname + ".bias"])
+
+
+def _block(sd, tree, t, f):
+    """Encoder Block tensors."""
+    _ln(sd, tree, f"{t}.norm1", f + ("norm1",))
+    _linear(sd, tree, f"{t}.attn.qkv", f + ("attn", "qkv"))
+    _linear(sd, tree, f"{t}.attn.proj", f + ("attn", "proj"))
+    _ln(sd, tree, f"{t}.norm2", f + ("norm2",))
+    _linear(sd, tree, f"{t}.mlp.fc1", f + ("mlp", "fc1"))
+    _linear(sd, tree, f"{t}.mlp.fc2", f + ("mlp", "fc2"))
+
+
+def _dec_block(sd, tree, t, f):
+    _ln(sd, tree, f"{t}.norm1", f + ("norm1",))
+    _linear(sd, tree, f"{t}.attn.qkv", f + ("attn", "qkv"))
+    _linear(sd, tree, f"{t}.attn.proj", f + ("attn", "proj"))
+    _ln(sd, tree, f"{t}.norm_y", f + ("norm_y",))
+    _ln(sd, tree, f"{t}.norm2", f + ("norm2",))
+    for p in ("projq", "projk", "projv", "proj"):
+        _linear(sd, tree, f"{t}.cross_attn.{p}", f + ("cross_attn", p))
+    _ln(sd, tree, f"{t}.norm3", f + ("norm3",))
+    _linear(sd, tree, f"{t}.mlp.fc1", f + ("mlp", "fc1"))
+    _linear(sd, tree, f"{t}.mlp.fc2", f + ("mlp", "fc2"))
+
+
+def _dpt_head(sd, tree, t, f):
+    """DPT head tensors (croco/MultiMAE DPTOutputAdapter naming)."""
+    def rn_name(k):
+        # both scratch.layer_rn.{idx} and scratch.layer{k}_rn appear in the
+        # wild depending on the ModuleList/attr registration
+        for cand in (f"{t}.dpt.scratch.layer_rn.{k - 1}",
+                     f"{t}.dpt.scratch.layer{k}_rn"):
+            if cand + ".weight" in sd:
+                return cand
+        raise KeyError(f"missing scratch layer_rn {k} for {t}")
+
+    _conv(sd, tree, f"{t}.dpt.act_postprocess.0.0", f + ("act_0_proj",))
+    _convT(sd, tree, f"{t}.dpt.act_postprocess.0.1", f + ("act_0_up4",))
+    _conv(sd, tree, f"{t}.dpt.act_postprocess.1.0", f + ("act_1_proj",))
+    _convT(sd, tree, f"{t}.dpt.act_postprocess.1.1", f + ("act_1_up2",))
+    _conv(sd, tree, f"{t}.dpt.act_postprocess.2.0", f + ("act_2_proj",))
+    _conv(sd, tree, f"{t}.dpt.act_postprocess.3.0", f + ("act_3_proj",))
+    _conv(sd, tree, f"{t}.dpt.act_postprocess.3.1", f + ("act_3_down2",))
+    for k in range(1, 5):
+        _conv(sd, tree, rn_name(k), f + (f"layer{k}_rn",), bias=False)
+        rf = f"{t}.dpt.scratch.refinenet{k}"
+        for unit in ("resConfUnit1", "resConfUnit2"):
+            for conv in ("conv1", "conv2"):
+                _conv(sd, tree, f"{rf}.{unit}.{conv}",
+                      f + (f"refinenet{k}", unit, conv))
+        _conv(sd, tree, f"{rf}.out_conv", f + (f"refinenet{k}", "out_conv"))
+    _conv(sd, tree, f"{t}.dpt.head.0", f + ("head_conv1",))
+    _conv(sd, tree, f"{t}.dpt.head.2", f + ("head_conv2",))
+    _conv(sd, tree, f"{t}.dpt.head.4", f + ("head_conv3",))
+
+
+def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
+                             head_type="linear"):
+    """torch state dict (tensor name -> numpy array) -> flax variables."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    # duplicate single decoder into dec_blocks2 (reference model.py:91-98)
+    if not any(k.startswith("dec_blocks2") for k in sd):
+        for key in list(sd.keys()):
+            if key.startswith("dec_blocks."):
+                sd[key.replace("dec_blocks.", "dec_blocks2.", 1)] = sd[key]
+
+    tree = {}
+    _conv(sd, tree, "patch_embed.proj", ("patch_embed", "proj"))
+    for i in range(enc_depth):
+        _block(sd, tree, f"enc_blocks.{i}", (f"enc_blocks_{i}",))
+    _ln(sd, tree, "enc_norm", ("enc_norm",))
+    _linear(sd, tree, "decoder_embed", ("decoder_embed",))
+    for i in range(dec_depth):
+        _dec_block(sd, tree, f"dec_blocks.{i}", (f"dec_blocks_{i}",))
+        _dec_block(sd, tree, f"dec_blocks2.{i}", (f"dec_blocks2_{i}",))
+    _ln(sd, tree, "dec_norm", ("dec_norm",))
+
+    for n in (1, 2):
+        t = f"downstream_head{n}"
+        f = (t,)
+        if head_type == "linear":
+            _linear(sd, tree, f"{t}.proj", f + ("proj",))
+        else:
+            _dpt_head(sd, tree, t, f)
+
+    params = jax.tree.map(jnp.asarray, tree)
+    return {"params": params}
+
+
+def load_torch_checkpoint(path, verbose=True, **overrides):
+    """Load a reference .pth checkpoint -> (model, variables).
+
+    Replaces reference load_model (dust3r/model.py:27-43): the arch string
+    is parsed (not eval'ed) and landscape_only forced off for inference.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    arch = ckpt["args"].model if hasattr(ckpt.get("args", None), "model") \
+        else ckpt.get("arch")
+    assert arch, "checkpoint missing architecture string"
+    if verbose:
+        print(f"instantiating from arch string: {arch}")
+    model = model_from_arch_string(arch, landscape_only=False, **overrides)
+    sd = {k: v.numpy() for k, v in ckpt["model"].items()}
+    variables = convert_torch_state_dict(
+        sd, enc_depth=model.enc_depth, dec_depth=model.dec_depth,
+        head_type=model.head_type)
+    return model, variables
+
+
+def from_pretrained(name_or_path, verbose=True, **overrides):
+    """HF-hub-compatible loader: local .pth, orbax dir, or hub id."""
+    if os.path.isfile(name_or_path):
+        return load_torch_checkpoint(name_or_path, verbose=verbose,
+                                     **overrides)
+    if os.path.isdir(name_or_path):
+        state, meta = load_checkpoint(name_or_path)
+        assert meta and "arch" in meta, "orbax checkpoint missing metadata"
+        model = model_from_arch_string(meta["arch"], landscape_only=False,
+                                       **overrides)
+        return model, state
+    # hub download (requires network)
+    from huggingface_hub import hf_hub_download
+
+    path = hf_hub_download(repo_id=name_or_path,
+                           filename="pytorch_model.bin")
+    return load_torch_checkpoint(path, verbose=verbose, **overrides)

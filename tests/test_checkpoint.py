@@ -1,0 +1,106 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from torch_ref_model import TorchDust3R
+from dust3r_tpu.checkpoint import (convert_torch_state_dict,
+                                   parse_arch_string,
+                                   model_from_arch_string,
+                                   save_checkpoint, load_checkpoint)
+from dust3r_tpu.models.model import AsymmetricCroCo3DStereo
+
+TINY = dict(patch_size=16, enc_embed_dim=64, enc_depth=2, enc_num_heads=2,
+            dec_embed_dim=48, dec_depth=2, dec_num_heads=2)
+
+
+class TestArchString:
+    def test_published_512_dpt_string(self):
+        arch = ("AsymmetricCroCo3DStereo(pos_embed='RoPE100', "
+                "patch_embed_cls='ManyAR_PatchEmbed', "
+                "img_size=(512, 512), head_type='dpt', output_mode='pts3d', "
+                "depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf), "
+                "enc_embed_dim=1024, enc_depth=24, enc_num_heads=16, "
+                "dec_embed_dim=768, dec_depth=12, dec_num_heads=12, "
+                "landscape_only=False)")
+        kw = parse_arch_string(arch)
+        assert kw["head_type"] == "dpt"
+        assert kw["img_size"] == (512, 512)
+        assert kw["depth_mode"] == ("exp", -np.inf, np.inf)
+        assert kw["enc_depth"] == 24
+        assert "patch_embed_cls" not in kw
+        model = model_from_arch_string(arch)
+        assert isinstance(model, AsymmetricCroCo3DStereo)
+        assert model.landscape_only is False
+
+
+class TestTorchConversion:
+    @pytest.fixture(scope="class")
+    def converted(self):
+        torch.manual_seed(0)
+        tmodel = TorchDust3R(**TINY).eval()
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+        variables = convert_torch_state_dict(sd, enc_depth=2, dec_depth=2,
+                                             head_type="linear")
+        jmodel = AsymmetricCroCo3DStereo(
+            img_size=(32, 32), head_type="linear", attn_impl="ref", **TINY)
+        return tmodel, jmodel, variables
+
+    def test_full_forward_parity(self, converted):
+        """Independent torch implementation vs JAX model through the
+        converter: outputs must match to float tolerance."""
+        tmodel, jmodel, variables = converted
+        rng = np.random.default_rng(0)
+        img1 = rng.standard_normal((2, 32, 48, 3)).astype(np.float32)
+        img2 = rng.standard_normal((2, 32, 48, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            tp1, tc1, tp2, tc2 = tmodel(
+                torch.from_numpy(img1).permute(0, 3, 1, 2),
+                torch.from_numpy(img2).permute(0, 3, 1, 2))
+
+        res1, res2 = jmodel.apply(variables, jnp.asarray(img1),
+                                  jnp.asarray(img2))
+
+        np.testing.assert_allclose(np.asarray(res1["pts3d"]), tp1.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res1["conf"]), tc1.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res2["pts3d_in_other_view"]),
+                                   tp2.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_single_decoder_duplication(self, converted):
+        tmodel, jmodel, _ = converted
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()
+              if not k.startswith("dec_blocks2")}
+        variables = convert_torch_state_dict(sd, enc_depth=2, dec_depth=2,
+                                             head_type="linear")
+        p = variables["params"]
+        a = np.asarray(p["dec_blocks_0"]["attn"]["qkv"]["kernel"])
+        b = np.asarray(p["dec_blocks2_0"]["attn"]["qkv"]["kernel"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_param_tree_matches_model_init(self, converted):
+        """Converted tree must have exactly the structure model.init makes."""
+        tmodel, jmodel, variables = converted
+        ref = jmodel.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)),
+                          jnp.ones((1, 32, 32, 3)))
+        ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(ref)[0]}
+        got_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(variables)[0]}
+        assert ref_paths == got_paths
+
+
+class TestOrbax:
+    def test_save_load_roundtrip(self, tmp_path):
+        state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+                 "step": jnp.asarray(7)}
+        path = str(tmp_path / "ckpt-1")
+        save_checkpoint(path, state, metadata={"arch": "test"})
+        restored, meta = load_checkpoint(path)
+        assert meta == {"arch": "test"}
+        np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                      np.arange(6.0).reshape(2, 3))
+        assert int(restored["step"]) == 7
