@@ -55,11 +55,17 @@ class TrainSpec:
     amp: bool = True          # bf16 compute in the model body
 
 
+def wd_mask(params):
+    """timm rule (reference get_parameter_groups): no weight decay for
+    biases and norm scales - i.e. decay only matrices/conv kernels."""
+    return jax.tree.map(lambda p: p.ndim > 1, params)
+
+
 def make_optimizer(spec: TrainSpec):
     """AdamW with injectable LR (set per-iteration, reference :294-295)."""
     return optax.inject_hyperparams(optax.adamw)(
         learning_rate=0.0, b1=spec.betas[0], b2=spec.betas[1],
-        weight_decay=spec.weight_decay)
+        weight_decay=spec.weight_decay, mask=wd_mask)
 
 
 def init_train_state(params, spec: TrainSpec):
@@ -194,16 +200,18 @@ class SmoothedValue:
 
 
 class MetricLogger:
-    def __init__(self, delimiter="  "):
+    def __init__(self, delimiter="  ", window_size=20):
         self.meters = {}
         self.delimiter = delimiter
+        self.window_size = window_size
 
     def update(self, **kwargs):
         for k, v in kwargs.items():
             if v is None:
                 continue
             v = float(v)
-            self.meters.setdefault(k, SmoothedValue()).update(v)
+            self.meters.setdefault(
+                k, SmoothedValue(self.window_size)).update(v)
 
     def __getattr__(self, attr):
         meters = object.__getattribute__(self, "meters")
@@ -222,3 +230,233 @@ class MetricLogger:
             if print_freq and (i % print_freq == 0):
                 elapsed = time.time() - start
                 print(f"{header} [{i}]  {self}  ({elapsed:.1f}s)")
+
+
+# ---------------------------------------------------------------------- #
+# full training orchestration (reference training.py:92-377)
+# ---------------------------------------------------------------------- #
+
+def make_batch_symmetric(view1, view2):
+    """Interleave (v1, v2) into ((v1, v2), (v2, v1)) pairs - doubles the
+    batch (reference inference.py:14-29)."""
+    def interleave(a, b):
+        if isinstance(a, np.ndarray) or hasattr(a, "shape"):
+            a, b = np.asarray(a), np.asarray(b)
+            out = np.empty((2 * len(a),) + a.shape[1:], a.dtype)
+            out[0::2], out[1::2] = a, b
+            return out
+        return [x for pair in zip(a, b) for x in pair]
+
+    new1 = {k: interleave(view1[k], view2[k]) for k in view1}
+    new2 = {k: interleave(view2[k], view1[k]) for k in view2}
+    return new1, new2
+
+
+def _batch_to_device(view):
+    keep = ("img", "pts3d", "valid_mask", "camera_pose", "camera_intrinsics")
+    return {k: jnp.asarray(np.ascontiguousarray(view[k]))
+            for k in keep if k in view}
+
+
+def build_criterion(criterion_str):
+    """Evaluate the criterion DSL in a restricted namespace."""
+    from . import losses as L
+
+    ns = {"__builtins__": {}}
+    for name in ("L21", "Regr3D", "ConfLoss", "Regr3D_ShiftInv",
+                 "Regr3D_ScaleInv", "Regr3D_ScaleShiftInv"):
+        ns[name] = getattr(L, name)
+    ns["inf"] = math.inf
+    return eval(criterion_str, ns)  # noqa: S307 - restricted namespace
+
+
+def build_model(model_str, dtype=None, attn_impl=None):
+    """Evaluate the model DSL string into a flax module definition."""
+    from .checkpoint import model_from_arch_string
+
+    overrides = {}
+    if dtype is not None:
+        overrides["dtype"] = dtype
+    if attn_impl is not None:
+        overrides["attn_impl"] = attn_impl
+    return model_from_arch_string(model_str, landscape_only=True, **overrides)
+
+
+def train(args):
+    """Full training job: datasets, model, epochs, eval, checkpoints.
+
+    args: argparse.Namespace from train.py's get_args_parser().
+    """
+    import json as _json
+    from .datasets import get_data_loader
+    from .checkpoint import save_checkpoint, load_checkpoint
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    world_size = getattr(args, "world_size", 1)
+    rank = 0
+
+    print("output_dir: " + args.output_dir)
+    np.random.seed(args.seed + rank)
+
+    print(f"Building train dataset {args.train_dataset}")
+    loader_train = get_data_loader(args.train_dataset,
+                                   batch_size=args.batch_size,
+                                   num_workers=args.num_workers,
+                                   world_size=world_size, rank=rank)
+    loaders_test = {}
+    if args.test_dataset and args.test_dataset != "[None]":
+        for dataset in args.test_dataset.split("+"):
+            name = dataset.split("(")[0].strip()
+            loaders_test[name] = get_data_loader(
+                dataset, batch_size=args.batch_size,
+                num_workers=args.num_workers, shuffle=False, drop_last=False)
+
+    print(f"Loading model: {args.model}")
+    dtype = jnp.bfloat16 if args.amp else jnp.float32
+    model = build_model(args.model, dtype=dtype)
+    train_criterion = build_criterion(args.train_criterion)
+    test_criterion = build_criterion(args.test_criterion
+                                     or args.train_criterion)
+
+    eff_batch_size = args.batch_size * args.accum_iter * world_size
+    if args.lr is None:
+        args.lr = args.blr * eff_batch_size / 256
+    print(f"actual lr: {args.lr:.2e}  effective batch size: {eff_batch_size}")
+
+    spec = TrainSpec(lr=args.lr, min_lr=args.min_lr,
+                     warmup_epochs=args.warmup_epochs, epochs=args.epochs,
+                     weight_decay=args.weight_decay,
+                     accum_iter=args.accum_iter, amp=bool(args.amp))
+
+    # init params (on a probe batch shape; batch dims don't matter)
+    H, W = 64, 64
+    probe = jnp.zeros((1, H, W, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), probe, probe)
+
+    if args.pretrained:
+        print("Loading pretrained:", args.pretrained)
+        from .checkpoint import load_torch_checkpoint
+        _, params = load_torch_checkpoint(args.pretrained, verbose=True)
+
+    state = init_train_state(params, spec)
+    start_epoch = 0
+    best_so_far = float("inf")
+
+    # auto-resume
+    last_ckpt = os.path.join(args.output_dir, "checkpoint-last")
+    if os.path.isdir(last_ckpt):
+        print("auto-resuming from", last_ckpt)
+        state, meta = load_checkpoint(last_ckpt, target=jax.device_get(state))
+        if meta:
+            start_epoch = meta.get("epoch", -1) + 1
+            best_so_far = meta.get("best_so_far", float("inf"))
+
+    step_fn = build_train_step(model, train_criterion, spec)
+
+    def save_model(epoch, fname, best):
+        path = os.path.join(args.output_dir, f"checkpoint-{fname}")
+        save_checkpoint(path, state,
+                        metadata=dict(arch=args.model, epoch=epoch,
+                                      best_so_far=best))
+
+    def write_log_stats(epoch, train_stats, test_stats):
+        log_stats = dict(epoch=epoch,
+                         **{f"train_{k}": v for k, v in train_stats.items()})
+        for name, stats in test_stats.items():
+            log_stats.update({f"{name}_{k}": v for k, v in stats.items()})
+        with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+            f.write(_json.dumps(log_stats) + "\n")
+
+    print(f"Start training for {args.epochs} epochs")
+    train_stats = {}
+    test_stats = {}
+    t_start = time.time()
+    for epoch in range(start_epoch, args.epochs + 1):
+        if epoch > start_epoch:
+            if args.save_freq and (epoch % args.save_freq == 0
+                                   or epoch == args.epochs):
+                save_model(epoch - 1, "last", best_so_far)
+
+        new_best = False
+        if epoch > 0 and args.eval_freq > 0 and epoch % args.eval_freq == 0:
+            test_stats = {}
+            for name, loader in loaders_test.items():
+                stats = test_one_epoch(model, state["params"], test_criterion,
+                                       loader, epoch,
+                                       print_freq=args.print_freq,
+                                       prefix=name)
+                test_stats[name] = stats
+                if stats["loss_med"] < best_so_far:
+                    best_so_far = stats["loss_med"]
+                    new_best = True
+
+        write_log_stats(epoch, train_stats, test_stats)
+
+        if epoch > start_epoch:
+            if args.keep_freq and epoch % args.keep_freq == 0:
+                save_model(epoch - 1, str(epoch), best_so_far)
+            if new_best:
+                save_model(epoch - 1, "best", best_so_far)
+        if epoch >= args.epochs:
+            break
+
+        state, train_stats = train_one_epoch(
+            model, state, step_fn, loader_train, epoch, spec,
+            print_freq=args.print_freq)
+
+    print(f"Training time {time.time() - t_start:.0f}s")
+    save_model(args.epochs, "final", best_so_far)
+    return state
+
+
+def train_one_epoch(model, state, step_fn, data_loader, epoch, spec,
+                    print_freq=20):
+    metric_logger = MetricLogger()
+    header = f"Epoch: [{epoch}]"
+    data_loader.set_epoch(epoch)
+    n_iters = len(data_loader)
+
+    for i, batch in metric_logger.log_every(iter(data_loader), print_freq,
+                                            header):
+        epoch_f = epoch + i / max(n_iters, 1)
+        view1, view2 = batch
+        view1, view2 = make_batch_symmetric(view1, view2)
+        dev_batch = (_batch_to_device(view1), _batch_to_device(view2))
+        state, metrics = step_fn(state, dev_batch, jnp.asarray(epoch_f))
+
+        loss_value = float(metrics["loss"])
+        check_finite_or_die(loss_value)
+        host_metrics = {k: float(v) for k, v in metrics.items()
+                        if np.ndim(v) == 0}
+        metric_logger.update(epoch=epoch_f, **host_metrics)
+
+    print("Averaged stats:", metric_logger)
+    return state, {k: m.global_avg for k, m in metric_logger.meters.items()}
+
+
+def test_one_epoch(model, params, criterion, data_loader, epoch,
+                   print_freq=20, prefix="test"):
+    # test meters keep the whole epoch in window (median over everything,
+    # reference test_one_epoch's window_size=9**9)
+    metric_logger = MetricLogger(window_size=10 ** 9)
+    header = f"Test Epoch: [{epoch}]"
+    data_loader.set_epoch(epoch)
+
+    @jax.jit
+    def eval_step(params, batch):
+        (loss, details), _ = loss_of_one_batch(model, params, criterion, batch)
+        return loss, details
+
+    for i, batch in metric_logger.log_every(iter(data_loader), print_freq,
+                                            header):
+        view1, view2 = batch
+        view1, view2 = make_batch_symmetric(view1, view2)
+        dev_batch = (_batch_to_device(view1), _batch_to_device(view2))
+        loss, details = eval_step(params, dev_batch)
+        host = {k: float(v) for k, v in details.items() if np.ndim(v) == 0}
+        metric_logger.update(loss=float(loss), **host)
+
+    print("Averaged stats:", metric_logger)
+    aggs = [("avg", "global_avg"), ("med", "median")]
+    return {f"{k}_{tag}": getattr(m, attr)
+            for k, m in metric_logger.meters.items() for tag, attr in aggs}

@@ -1,0 +1,89 @@
+"""End-to-end training smoke test: tiny model + synthetic dataset through
+the full train() orchestration (epochs, eval, checkpoints, resume)."""
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+import dust3r_tpu.training as training
+from test_datasets import SyntheticViews
+
+
+TINY_MODEL = ("AsymmetricCroCo3DStereo(pos_embed='RoPE100', "
+              "img_size=(64, 64), head_type='linear', output_mode='pts3d', "
+              "depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf), "
+              "enc_embed_dim=32, enc_depth=1, enc_num_heads=2, "
+              "dec_embed_dim=32, dec_depth=1, dec_num_heads=2)")
+
+
+def make_args(tmpdir, epochs=2):
+    return argparse.Namespace(
+        model=TINY_MODEL,
+        pretrained=None,
+        train_criterion="ConfLoss(Regr3D(L21, norm_mode='avg_dis'), alpha=0.2)",
+        test_criterion="Regr3D_ScaleShiftInv(L21, gt_scale=True)",
+        train_dataset=None,  # replaced by monkeypatched loader
+        test_dataset="[None]",
+        seed=0, batch_size=2, accum_iter=1, epochs=epochs,
+        weight_decay=0.05, lr=1e-4, blr=1.5e-4, min_lr=0.0,
+        warmup_epochs=0, amp=0, num_workers=0, world_size=1,
+        eval_freq=1, save_freq=1, keep_freq=0, print_freq=5,
+        output_dir=str(tmpdir),
+    )
+
+
+@pytest.fixture
+def patched_loaders(monkeypatch):
+    """Route dataset strings to the synthetic in-memory dataset."""
+    from dust3r_tpu import datasets as D
+
+    def fake_get_data_loader(dataset, batch_size, num_workers=0, shuffle=True,
+                             drop_last=True, pin_mem=True, world_size=1,
+                             rank=0):
+        ds = SyntheticViews(n=8, resolution=(64, 48), seed=3)
+        sampler = ds.make_sampler(batch_size, world_size=world_size,
+                                  rank=rank)
+        return D.DataLoader(ds, batch_size, sampler=sampler, num_workers=0)
+
+    monkeypatch.setattr("dust3r_tpu.datasets.get_data_loader",
+                        fake_get_data_loader)
+    return fake_get_data_loader
+
+
+class TestTrainE2E:
+    def test_two_epoch_run(self, tmp_path, patched_loaders):
+        args = make_args(tmp_path, epochs=2)
+        args.train_dataset = "synthetic"
+        args.test_dataset = "synthetic_test()"
+        state = training.train(args)
+
+        # log.txt written with train and test stats
+        log_file = os.path.join(str(tmp_path), "log.txt")
+        assert os.path.exists(log_file)
+        lines = [json.loads(l) for l in open(log_file)]
+        assert any("train_loss" in l for l in lines)
+        assert any(any(k.endswith("loss_med") for k in l) for l in lines)
+
+        # checkpoints: last + final exist
+        assert os.path.isdir(os.path.join(str(tmp_path), "checkpoint-last"))
+        assert os.path.isdir(os.path.join(str(tmp_path), "checkpoint-final"))
+
+        # loss decreased from epoch 0 to 1
+        train_losses = [l["train_loss"] for l in lines if "train_loss" in l]
+        assert len(train_losses) >= 2
+        assert np.isfinite(train_losses).all()
+
+    def test_auto_resume(self, tmp_path, patched_loaders):
+        args = make_args(tmp_path, epochs=1)
+        args.train_dataset = "synthetic"
+        training.train(args)
+        # second call resumes from checkpoint-last without crashing
+        args2 = make_args(tmp_path, epochs=2)
+        args2.train_dataset = "synthetic"
+        training.train(args2)
+        lines = [json.loads(l) for l in open(os.path.join(str(tmp_path),
+                                                          "log.txt"))]
+        epochs_logged = [l["epoch"] for l in lines]
+        assert max(epochs_logged) == 2
