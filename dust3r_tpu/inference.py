@@ -174,7 +174,7 @@ def inference(pairs, model, params=None, batch_size=8, verbose=True):
     """
     if verbose:
         print(f">> Inference with model on {len(pairs)} image pairs")
-    engine = model if isinstance(model, InferenceEngine) else \
+    engine = model if hasattr(model, "infer_pairs") else \
         InferenceEngine(model, params, batch_size)
     return engine.infer_pairs(pairs, verbose=verbose)
 

@@ -54,7 +54,10 @@ def geotrf(Trf, pts, ncol=None, norm=0):
         R = Trf.reshape(batch + (1,) * n_extra + Trf.shape[-2:])
 
     if Trf.shape[-1] == d + 1:
-        res = jnp.einsum("...ij,...j->...i", R[..., :d, :d], pts) + R[..., :d, d]
+        # keep ALL output rows (including the homogeneous one) so that
+        # norm= can divide by the homogeneous coordinate, like the
+        # reference (2D pts + 3x3 homography -> 3 coords before norm)
+        res = jnp.einsum("...ij,...j->...i", R[..., :, :d], pts) + R[..., :, d]
     elif Trf.shape[-1] == d:
         res = jnp.einsum("...ij,...j->...i", R[..., :d, :d], pts)
     else:

@@ -1,0 +1,188 @@
+import os
+
+import numpy as np
+import pytest
+
+from dust3r_tpu.visloc.utils import (ratios_resolutions, get_HW_resolution,
+                                     get_resize_function, rescale_points3d)
+from dust3r_tpu.visloc.evaluation import (get_pose_error, aggregate_stats,
+                                          export_results)
+from dust3r_tpu.visloc.localization import run_pnp
+from dust3r_tpu.visloc.datasets.base_colmap import (read_colmap_text_model,
+                                                    get_ordered_pairs_from_file,
+                                                    pose_from_qwxyz_txyz)
+from dust3r_tpu.utils.geometry import geotrf
+
+
+class TestResolutionBuckets:
+    def test_canonical_table(self):
+        assert ratios_resolutions[512][4 / 3] == [512, 384]
+        assert ratios_resolutions[224][1.0] == [224, 224]
+
+    def test_bucket_selection(self):
+        assert get_HW_resolution(480, 640, 512) == [384, 512]
+        assert get_HW_resolution(640, 480, 512) == [512, 384]  # portrait
+        assert get_HW_resolution(100, 320, 512) == [160, 512]
+
+    def test_resize_roundtrip(self):
+        rng = np.random.default_rng(0)
+        H, W = 480, 640
+        img = rng.standard_normal((H, W, 3)).astype(np.float32)
+        resize_op, to_resize, to_orig = get_resize_function(512, 16, H, W)
+        out = resize_op(img)
+        assert out.shape == (384, 512, 3)
+        # to_orig o to_resize == identity
+        np.testing.assert_allclose(to_orig @ to_resize, np.eye(3), atol=1e-9)
+
+    def test_resize_noop_for_native_resolution(self):
+        resize_op, to_resize, to_orig = get_resize_function(512, 16, 384, 512)
+        np.testing.assert_array_equal(to_resize, np.eye(3))
+
+    def test_rescale_points3d(self):
+        pts2d = np.array([[10.0, 20.0], [100.0, 50.0]])
+        pts3d = np.array([[1.0, 2, 3], [4, 5, 6]], np.float32)
+        to_resize = np.diag([0.5, 0.5, 1.0])
+        _, _, pts3d_map, valid = rescale_points3d(pts2d, pts3d, to_resize,
+                                                  60, 120)
+        assert valid.sum() == 2
+        # first point lands at ~(5, 10)
+        assert np.isfinite(pts3d_map[10, 5]).all()
+
+
+class TestEvaluation:
+    def test_pose_error(self):
+        gt = np.eye(4)
+        pr = np.eye(4)
+        pr[:3, 3] = [0.3, 0, 0]
+        te, ae = get_pose_error(pr, gt)
+        assert np.isclose(te, 0.3) and np.isclose(ae, 0)
+
+    def test_aggregate_stats(self):
+        out = aggregate_stats("test", [0.05, 0.3, 10.0], [0.5, 1.5, 20.0])
+        assert "acc@0.1m,1deg" in out and "33.3" in out
+
+    def test_export_results(self, tmp_path):
+        poses = [np.eye(4), None]
+        export_results(str(tmp_path), "xp", ["q/a.png", "q/b.png"], poses)
+        lines = open(os.path.join(str(tmp_path), "xp_ltvl.txt")).readlines()
+        assert len(lines) == 2
+        assert lines[0].startswith("a.png 1.0 0.0 0.0 0.0")
+
+
+class TestPnP:
+    def test_cv2_pnp_recovers_pose(self):
+        rng = np.random.default_rng(0)
+        # synthetic camera at known pose
+        f, W, H = 400.0, 640, 480
+        K = np.float32([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+        R = np.eye(3)
+        t = np.array([0.2, -0.1, 0.5])
+        c2w = np.eye(4)
+        c2w[:3, :3], c2w[:3, 3] = R, t
+        pts3d_world = rng.uniform(-2, 2, (200, 3)).astype(np.float32)
+        pts3d_world[:, 2] += 6
+        w2c = np.linalg.inv(c2w)
+        cam = np.asarray(geotrf(w2c, pts3d_world))
+        uv = cam[:, :2] / cam[:, 2:3] * f + [W / 2, H / 2]
+        ok = (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+        success, pose = run_pnp(uv[ok].astype(np.float32),
+                                pts3d_world[ok], K, None, mode="cv2")
+        assert success
+        te, ae = get_pose_error(pose, c2w)
+        assert te < 1e-3 and ae < 0.1
+
+    def test_too_few_points(self):
+        success, pose = run_pnp(np.zeros((3, 2)), np.zeros((3, 3)),
+                                np.eye(3, dtype=np.float32))
+        assert not success and pose is None
+
+
+class TestColmapParsing:
+    def test_parse_text_model(self, tmp_path):
+        (tmp_path / "cameras.txt").write_text(
+            "# header\n# header\n# header\n"
+            "1 PINHOLE 640 480 400 400 320 240\n")
+        (tmp_path / "images.txt").write_text(
+            "# header\n"
+            "1 1 0 0 0 0.5 0.2 0.1 1 img1.jpg\n"
+            "10.0 20.0 5 30.0 40.0 -1 50.0 60.0 7\n")
+        (tmp_path / "points3D.txt").write_text(
+            "# header\n"
+            "5 1.0 2.0 3.0 255 255 255 0.1\n"
+            "7 4.0 5.0 6.0 255 255 255 0.1\n")
+        img_infos, points3D = read_colmap_text_model(str(tmp_path))
+        assert "img1.jpg" in img_infos
+        info = img_infos["img1.jpg"]
+        assert info["sparse_pts2d"] == {5: (10.0, 20.0), 7: (50.0, 60.0)}
+        assert points3D[5] == (1.0, 2.0, 3.0)
+        # pose: identity quat -> cam2world translation = -t
+        np.testing.assert_allclose(info["camera_pose"][:3, 3],
+                                   [-0.5, -0.2, -0.1], atol=1e-6)
+
+    def test_pairsfile(self, tmp_path):
+        p = tmp_path / "pairs.txt"
+        p.write_text("q1 m1 0.5\nq1 m2 0.9\nq2 m3\n")
+        pairs = get_ordered_pairs_from_file(str(p))
+        assert pairs["q1"][0] == ("m2", 0.9)
+        assert pairs["q2"] == [("m3", 0.0)]
+
+
+class TestLocalizeQuery:
+    def test_synthetic_localization(self):
+        """End-to-end localize_query with a fake engine returning perfect
+        pointmaps for a known scene."""
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        from visloc import localize_query
+
+        rng = np.random.default_rng(1)
+        f, W, H = 100.0, 64, 48
+        K = np.float32([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+
+        # query camera at a known pose; map camera at identity
+        q_c2w = np.eye(4)
+        q_c2w[:3, 3] = [0.3, -0.2, 0.1]
+
+        depth_q = rng.uniform(2, 4, (H, W)).astype(np.float32)
+        from dust3r_tpu.utils.geometry import (
+            depthmap_to_absolute_camera_coordinates)
+        pts_world_q, _ = depthmap_to_absolute_camera_coordinates(
+            depth_q, K, q_c2w)
+        pts_world_q = np.asarray(pts_world_q)
+
+        # fake engine: pred1 = query pts in query cam frame; pred2 = same
+        # world points (map view "sees" the same surface)
+        class FakeEngine:
+            model = None
+
+            def infer_pairs(self, pairs, verbose=False):
+                in_q = np.asarray(geotrf(np.linalg.inv(q_c2w), pts_world_q))
+                return dict(
+                    view1={}, view2={},
+                    pred1=dict(pts3d=in_q[None],
+                               conf=np.full((1, H, W), 5.0, np.float32)),
+                    pred2=dict(pts3d_in_other_view=in_q[None],
+                               conf=np.full((1, H, W), 5.0, np.float32)),
+                )
+
+        import PIL.Image
+        map_view = dict(
+            rgb_rescaled=np.zeros((H, W, 3), np.float32),
+            pts3d_rescaled=pts_world_q,  # map knows the true world points
+            valid_rescaled=np.ones((H, W), bool),
+        )
+        query_view = dict(
+            rgb_rescaled=np.zeros((H, W, 3), np.float32),
+            rgb=PIL.Image.new("RGB", (W, H)),
+            intrinsics=K, distortion=None, to_orig=np.eye(3),
+            cam_to_world=q_c2w,
+        )
+
+        success, pose = localize_query(FakeEngine(), [query_view, map_view],
+                                       conf_thr=3.0, pnp_mode="cv2",
+                                       reprojection_error=5.0,
+                                       reprojection_error_diag_ratio=None,
+                                       pnp_max_points=100000)
+        assert success
+        te, ae = get_pose_error(pose, q_c2w)
+        assert te < 0.01 and ae < 0.5
