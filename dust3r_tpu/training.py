@@ -53,6 +53,7 @@ class TrainSpec:
     betas: tuple = (0.9, 0.95)
     accum_iter: int = 1
     amp: bool = True          # bf16 compute in the model body
+    freeze: str = "none"      # 'none' | 'mask' | 'encoder' (model.py:100-107)
 
 
 def wd_mask(params):
@@ -102,6 +103,7 @@ def build_train_step(model, criterion, spec: TrainSpec, mesh=None):
     (batch leading dim = accum_iter).
     """
     opt = make_optimizer(spec)
+    from .utils.misc import freeze_mask
 
     def loss_fn(params, micro_batch):
         (loss, details), _ = loss_of_one_batch(model, params, criterion,
@@ -127,6 +129,10 @@ def build_train_step(model, criterion, spec: TrainSpec, mesh=None):
         else:
             (loss, details), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch)
+
+        if spec.freeze != "none":
+            fmask = freeze_mask(params, spec.freeze)
+            grads = jax.tree.map(lambda g, m: g * m, grads, fmask)
 
         lr = cosine_warmup_lr(epoch_f, spec.lr, spec.min_lr,
                               spec.warmup_epochs, spec.epochs)
