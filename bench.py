@@ -76,9 +76,57 @@ def bench_pairs_per_sec(batch_size=8, H=384, W=512, iters=20, warmup=3):
     return pairs_per_sec
 
 
+def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300):
+    """Global-alignment iterations/sec on a synthetic n-image scene.
+
+    The torch reference runs its 300-iter Adam loop as a python loop
+    (~15-30 it/s on GPU); here the whole loop is one lax.scan.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from dust3r_tpu.cloud_opt import global_aligner, GlobalAlignerMode
+    from dust3r_tpu.cloud_opt.commons import make_lr_schedule
+    from dust3r_tpu.cloud_opt.optimizer import _run_alignment
+
+    rng = np.random.default_rng(0)
+    edges = [(i, j) for i in range(n_imgs) for j in range(n_imgs) if i != j]
+    E = len(edges)
+    out = dict(
+        view1=dict(idx=[i for i, j in edges]),
+        view2=dict(idx=[j for i, j in edges]),
+        pred1=dict(pts3d=rng.uniform(-2, 2, (E, H, W, 3)).astype(np.float32),
+                   conf=1 + rng.uniform(1, 5, (E, H, W)).astype(np.float32)),
+        pred2=dict(
+            pts3d_in_other_view=rng.uniform(-2, 2, (E, H, W, 3)).astype(np.float32),
+            conf=1 + rng.uniform(1, 5, (E, H, W)).astype(np.float32)),
+    )
+    scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                           verbose=False)
+    lrs = make_lr_schedule("cosine", niter, 0.01, 1e-6)
+    # compile
+    t0 = time.perf_counter()
+    params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
+                                    dict(scene.masks), lrs)
+    _ = float(losses[-1])
+    log(f"aligner compile+first {niter} iters: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
+                                    dict(scene.masks), lrs)
+    _ = float(losses[-1])
+    dt = time.perf_counter() - t0
+    iters_per_sec = niter / dt
+    log(f"aligner: {n_imgs} imgs, {E} edges @ {H}x{W}: "
+        f"{iters_per_sec:.1f} iters/s ({dt:.2f}s for {niter})")
+    return iters_per_sec
+
+
 def main():
     import jax
     log(f"devices: {jax.devices()}")
+    try:
+        bench_aligner_iters_per_sec()
+    except Exception as e:
+        log(f"aligner bench failed: {type(e).__name__}: {e}")
     value = None
     for bs in (8, 4, 2, 1):
         try:

@@ -68,16 +68,18 @@ class LinearPts3d(nn.Module):
     depth_mode: Mode
     conf_mode: Mode
     has_conf: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, decout, img_shape):
         H, W = img_shape
-        tokens = decout[-1]  # (B, S, D)
+        tokens = decout[-1].astype(self.dtype)  # (B, S, D)
         p = self.patch_size
         nch = 3 + int(self.has_conf)
-        feat = nn.Dense(nch * p * p, dtype=jnp.float32, name="proj")(tokens)
+        feat = nn.Dense(nch * p * p, dtype=self.dtype, name="proj")(tokens)
         feat = rearrange(feat, "b (h w) (c ph pw) -> b (h ph) (w pw) c",
                          h=H // p, w=W // p, c=nch, ph=p, pw=p)
+        feat = feat.astype(jnp.float32)  # postprocess always fp32
         return postprocess(feat, self.depth_mode,
                            self.conf_mode if self.has_conf else None)
 
@@ -137,27 +139,34 @@ class _PatchExpand(nn.Module):
 
 class ResidualConvUnit(nn.Module):
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv2")(out)
         return out + x
 
 
 class FeatureFusionBlock(nn.Module):
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, res=None):
         out = x
         if res is not None:
-            out = out + ResidualConvUnit(self.features, name="resConfUnit1")(res)
-        out = ResidualConvUnit(self.features, name="resConfUnit2")(out)
+            out = out + ResidualConvUnit(self.features, self.dtype,
+                                         name="resConfUnit1")(res)
+        out = ResidualConvUnit(self.features, self.dtype,
+                               name="resConfUnit2")(out)
         out = upsample2x_align_corners(out)
-        out = nn.Conv(self.features, (1, 1), name="out_conv")(out)
+        out = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                      name="out_conv")(out)
         return out
 
 
@@ -176,6 +185,7 @@ class DPTHead(nn.Module):
     hooks: Sequence[int] = (0, 6, 9, 12)
     layer_dims: Sequence[int] = (96, 192, 384, 768)
     feature_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, decout, img_shape):
@@ -183,13 +193,14 @@ class DPTHead(nn.Module):
         p = self.patch_size
         Nh, Nw = H // p, W // p
         nch = 3 + int(self.has_conf)
+        dt = self.dtype
 
         layers = []
         for idx, hook in enumerate(self.hooks):
-            t = decout[hook]  # (B, S, D)
+            t = decout[hook].astype(dt)  # (B, S, D)
             x = t.reshape(t.shape[0], Nh, Nw, t.shape[-1])
             # per-hook projection ("act_postprocess")
-            x = nn.Conv(self.layer_dims[idx], (1, 1),
+            x = nn.Conv(self.layer_dims[idx], (1, 1), dtype=dt,
                         name=f"act_{idx}_proj")(x)
             if idx == 0:
                 x = _PatchExpand(self.layer_dims[idx], 4, name="act_0_up4")(x)
@@ -197,38 +208,41 @@ class DPTHead(nn.Module):
                 x = _PatchExpand(self.layer_dims[idx], 2, name="act_1_up2")(x)
             elif idx == 3:
                 x = nn.Conv(self.layer_dims[idx], (3, 3), strides=(2, 2),
-                            padding=1, name="act_3_down2")(x)
+                            padding=1, dtype=dt, name="act_3_down2")(x)
             # scratch projection to common feature dim
             x = nn.Conv(self.feature_dim, (3, 3), padding=1, use_bias=False,
-                        name=f"layer{idx + 1}_rn")(x)
+                        dtype=dt, name=f"layer{idx + 1}_rn")(x)
             layers.append(x)
 
-        path4 = FeatureFusionBlock(self.feature_dim, name="refinenet4")(layers[3])
+        path4 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet4")(layers[3])
         path4 = path4[:, :layers[2].shape[1], :layers[2].shape[2], :]
-        path3 = FeatureFusionBlock(self.feature_dim, name="refinenet3")(path4, layers[2])
-        path2 = FeatureFusionBlock(self.feature_dim, name="refinenet2")(path3, layers[1])
-        path1 = FeatureFusionBlock(self.feature_dim, name="refinenet1")(path2, layers[0])
+        path3 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet3")(path4, layers[2])
+        path2 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet2")(path3, layers[1])
+        path1 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet1")(path2, layers[0])
 
         # regression head: conv3x3 -> 2x upsample -> conv3x3 -> relu -> conv1x1
-        out = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, name="head_conv1")(path1)
+        out = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, dtype=dt, name="head_conv1")(path1)
         out = upsample2x_align_corners(out)
-        out = nn.Conv(32, (3, 3), padding=1, name="head_conv2")(out)
+        out = nn.Conv(32, (3, 3), padding=1, dtype=dt, name="head_conv2")(out)
         out = nn.relu(out)
-        out = nn.Conv(nch, (1, 1), name="head_conv3")(out)
+        out = nn.Conv(nch, (1, 1), dtype=dt, name="head_conv3")(out)
+        out = out.astype(jnp.float32)  # postprocess always fp32
 
         return postprocess(out, self.depth_mode,
                            self.conf_mode if self.has_conf else None)
 
 
 def head_factory(head_type, output_mode, *, patch_size, dec_depth,
-                 depth_mode, conf_mode, has_conf, name):
+                 depth_mode, conf_mode, has_conf, name,
+                 dtype=jnp.float32):
     if output_mode != "pts3d":
         raise NotImplementedError(f"unexpected {output_mode=}")
     if head_type == "linear":
-        return LinearPts3d(patch_size, depth_mode, conf_mode, has_conf, name=name)
+        return LinearPts3d(patch_size, depth_mode, conf_mode, has_conf,
+                           dtype=dtype, name=name)
     if head_type == "dpt":
         assert dec_depth > 9
         hooks = (0, dec_depth * 2 // 4, dec_depth * 3 // 4, dec_depth)
         return DPTHead(patch_size, depth_mode, conf_mode, has_conf,
-                       hooks=hooks, name=name)
+                       hooks=hooks, dtype=dtype, name=name)
     raise NotImplementedError(f"unexpected {head_type=}")

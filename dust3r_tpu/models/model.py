@@ -47,6 +47,8 @@ class AsymmetricCroCo3DStereo(nn.Module):
     conf_mode: Optional[Tuple[str, float, float]] = ("exp", 1, inf)
     landscape_only: bool = True
     dtype: jnp.dtype = jnp.float32
+    head_dtype: jnp.dtype = jnp.float32  # reference runs heads fp32; bf16
+    # trades a small (<1e-2 RMSE) accuracy delta for ~3x faster DPT convs
     attn_impl: Optional[str] = None  # None=auto, 'ref', 'pallas'
 
     @property
@@ -80,11 +82,13 @@ class AsymmetricCroCo3DStereo(nn.Module):
         self.downstream_head1 = head_factory(
             self.head_type, self.output_mode, patch_size=self.patch_size,
             dec_depth=self.dec_depth, depth_mode=self.depth_mode,
-            conf_mode=self.conf_mode, has_conf=has_conf, name="downstream_head1")
+            conf_mode=self.conf_mode, has_conf=has_conf,
+            dtype=self.head_dtype, name="downstream_head1")
         self.downstream_head2 = head_factory(
             self.head_type, self.output_mode, patch_size=self.patch_size,
             dec_depth=self.dec_depth, depth_mode=self.depth_mode,
-            conf_mode=self.conf_mode, has_conf=has_conf, name="downstream_head2")
+            conf_mode=self.conf_mode, has_conf=has_conf,
+            dtype=self.head_dtype, name="downstream_head2")
 
     # ------------------------------------------------------------------ #
     # stages (each is exposed via model.apply(..., method=...))
@@ -119,8 +123,9 @@ class AsymmetricCroCo3DStereo(nn.Module):
         return out1, out2
 
     def head(self, head_num, decout, img_shape):
-        """Run downstream head `head_num` (1 or 2) in fp32."""
-        decout = [t.astype(jnp.float32) for t in decout]
+        """Run downstream head `head_num` (1 or 2) at head_dtype
+        (fp32 by default, matching the reference's AMP rule)."""
+        decout = [t.astype(self.head_dtype) for t in decout]
         h = self.downstream_head1 if head_num == 1 else self.downstream_head2
         return h(decout, img_shape)
 

@@ -43,15 +43,48 @@ def _apply_rope_tile(t, cos, sin):
     return t * cos + rot * sin
 
 
+def _attn_kernel_multihead(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref,
+                           sk_ref, o_ref, *, scale, use_rope, n_heads):
+    """G heads per grid program: amortizes per-program latency over
+    several (small) per-head matmuls. Refs are (G, N, d)."""
+    in_dtype = q_ref.dtype
+    if use_rope:
+        cq, sq = cq_ref[0], sq_ref[0]
+        ck, sk = ck_ref[0], sk_ref[0]
+
+    for h in range(n_heads):  # static unroll
+        q = q_ref[h].astype(jnp.float32)
+        k = k_ref[h].astype(jnp.float32)
+        if use_rope:
+            q = _apply_rope_tile(q, cq, sq)
+            k = _apply_rope_tile(k, ck, sk)
+        q = (q * scale).astype(in_dtype)
+        k = k.astype(in_dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v_ref.dtype)
+        o = jnp.dot(p, v_ref[h], preferred_element_type=jnp.float32)
+        o_ref[h] = o.astype(o_ref.dtype)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
                  *, scale, use_rope):
+    # RoPE is applied in fp32 for accuracy, but the matmuls MUST run on
+    # bf16 inputs (fp32 MXU matmul decomposes into ~6 bf16 passes);
+    # accumulation stays fp32 via preferred_element_type.
+    in_dtype = q_ref.dtype
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0]
     if use_rope:
         q = _apply_rope_tile(q, cq_ref[0], sq_ref[0])
         k = _apply_rope_tile(k, ck_ref[0], sk_ref[0])
-    s = jax.lax.dot_general(q * scale, k,
+    q = (q * scale).astype(in_dtype)
+    k = k.astype(in_dtype)
+    s = jax.lax.dot_general(q, k,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (Nq, Nk)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -62,9 +95,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("rope_base",))
+@functools.partial(jax.jit, static_argnames=("rope_base", "heads_per_program"))
 def fused_attention(q, k, v, positions_q=None, positions_k=None,
-                    rope_base=100.0):
+                    rope_base=100.0, heads_per_program=4):
     """q,k,v: (B, H, N, d). positions: (B, N, 2) int or None (no RoPE)."""
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
@@ -77,35 +110,39 @@ def fused_attention(q, k, v, positions_q=None, positions_k=None,
         cq = sq = jnp.ones((B, 1, d), jnp.float32)
         ck = sk = jnp.ones((B, 1, d), jnp.float32)
 
+    G = heads_per_program
+    while H % G:
+        G //= 2
     qf = q.reshape(B * H, Nq, d)
     kf = k.reshape(B * H, Nk, d)
     vf = v.reshape(B * H, Nk, d)
 
     Ncq = cq.shape[1]
     Nck = ck.shape[1]
-    grid = (B * H,)
-    kernel = functools.partial(_attn_kernel, scale=d ** -0.5,
-                               use_rope=use_rope)
+    grid = (B * H // G,)
+    kernel = functools.partial(_attn_kernel_multihead, scale=d ** -0.5,
+                               use_rope=use_rope, n_heads=G)
+    HG = H // G  # programs per batch entry
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Nq, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, Nq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nk, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, Nk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nk, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, Nk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ncq, d), lambda i, H=H: (i // H, 0, 0),
+            pl.BlockSpec((1, Ncq, d), lambda i, HG=HG: (i // HG, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ncq, d), lambda i, H=H: (i // H, 0, 0),
+            pl.BlockSpec((1, Ncq, d), lambda i, HG=HG: (i // HG, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nck, d), lambda i, H=H: (i // H, 0, 0),
+            pl.BlockSpec((1, Nck, d), lambda i, HG=HG: (i // HG, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nck, d), lambda i, H=H: (i // H, 0, 0),
+            pl.BlockSpec((1, Nck, d), lambda i, HG=HG: (i // HG, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Nq, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, Nq, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, Nq, d), v.dtype),
         cost_estimate=pl.CostEstimate(
