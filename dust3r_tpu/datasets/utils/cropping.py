@@ -32,22 +32,29 @@ def _to_pil(image):
 
 def rescale_image_depthmap(image, depthmap, camera_intrinsics,
                            output_resolution, force=True):
-    """Rescale so the image covers output_resolution (keeps aspect)."""
+    """Rescale so the image covers output_resolution (keeps aspect).
+
+    `image` may be a single PIL/array or a tuple/list of same-size images
+    (all resized jointly, reference ImageList semantics)."""
     import cv2
 
-    image = _to_pil(image)
-    input_resolution = np.array(image.size)  # (W, H)
+    multi = isinstance(image, (tuple, list))
+    images = [_to_pil(im) for im in (image if multi else [image])]
+    assert all(im.size == images[0].size for im in images)
+    input_resolution = np.array(images[0].size)  # (W, H)
     output_resolution = np.array(output_resolution)
     if depthmap is not None:
-        assert tuple(depthmap.shape[:2]) == image.size[::-1]
+        assert tuple(depthmap.shape[:2]) == images[0].size[::-1]
 
-    scale_final = max(output_resolution / image.size) + 1e-8
+    scale_final = max(output_resolution / images[0].size) + 1e-8
     if scale_final >= 1 and not force:
-        return image, depthmap, camera_intrinsics
+        return (tuple(images) if multi else images[0]), depthmap, \
+            camera_intrinsics
     output_resolution = np.floor(input_resolution * scale_final).astype(int)
 
-    image = image.resize(tuple(output_resolution),
-                         resample=LANCZOS if scale_final < 1 else BICUBIC)
+    resample = LANCZOS if scale_final < 1 else BICUBIC
+    images = [im.resize(tuple(output_resolution), resample=resample)
+              for im in images]
     if depthmap is not None:
         depthmap = cv2.resize(depthmap, tuple(output_resolution),
                               fx=scale_final, fy=scale_final,
@@ -56,7 +63,8 @@ def rescale_image_depthmap(image, depthmap, camera_intrinsics,
     camera_intrinsics = camera_matrix_of_crop(
         camera_intrinsics, input_resolution, output_resolution,
         scaling=scale_final)
-    return image, depthmap, camera_intrinsics
+    return (tuple(images) if multi else images[0]), depthmap, \
+        camera_intrinsics
 
 
 def camera_matrix_of_crop(input_camera_matrix, input_resolution,

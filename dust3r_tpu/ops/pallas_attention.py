@@ -65,9 +65,11 @@ def _attn_kernel_multihead(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / l).astype(v_ref.dtype)
-        o = jnp.dot(p, v_ref[h], preferred_element_type=jnp.float32)
-        o_ref[h] = o.astype(o_ref.dtype)
+        # normalize the (N, d) output rather than the (N, N) matrix:
+        # one fewer full pass over the attention matrix on the VPU
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[h],
+                    preferred_element_type=jnp.float32)
+        o_ref[h] = (o / l).astype(o_ref.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
@@ -97,7 +99,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("rope_base", "heads_per_program"))
 def fused_attention(q, k, v, positions_q=None, positions_k=None,
-                    rope_base=100.0, heads_per_program=4):
+                    rope_base=100.0, heads_per_program=8):
     """q,k,v: (B, H, N, d). positions: (B, N, 2) int or None (no RoPE)."""
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
