@@ -52,15 +52,17 @@ def _attn_kernel_multihead(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref,
         cq, sq = cq_ref[0], sq_ref[0]
         ck, sk = ck_ref[0], sk_ref[0]
 
-    for h in range(n_heads):  # static unroll
+    def body(h, _):
         q = q_ref[h].astype(jnp.float32)
         k = k_ref[h].astype(jnp.float32)
         if use_rope:
-            q = _apply_rope_tile(q, cq, sq)
-            k = _apply_rope_tile(k, ck, sk)
-        q = (q * scale).astype(in_dtype)
-        k = k.astype(in_dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+            q2 = _apply_rope_tile(q, cq, sq)
+            k2 = _apply_rope_tile(k, ck, sk)
+        else:
+            q2, k2 = q, k
+        q2 = (q2 * scale).astype(in_dtype)
+        k2 = k2.astype(in_dtype)
+        s = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
@@ -70,6 +72,9 @@ def _attn_kernel_multihead(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref,
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[h],
                     preferred_element_type=jnp.float32)
         o_ref[h] = (o / l).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_heads, body, 0)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
