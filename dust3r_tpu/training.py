@@ -359,6 +359,16 @@ def train(args):
 
     step_fn = build_train_step(model, train_criterion, spec)
 
+    # TensorBoard scalars under the reference's epoch_1000x x-axis
+    # (training.py:186,321-333); gated optional dep.
+    log_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        log_writer = SummaryWriter(log_dir=args.output_dir)
+    except Exception:
+        pass
+
     def save_model(epoch, fname, best):
         path = os.path.join(args.output_dir, f"checkpoint-{fname}")
         save_checkpoint(path, state,
@@ -408,7 +418,7 @@ def train(args):
 
         state, train_stats = train_one_epoch(
             model, state, step_fn, loader_train, epoch, spec,
-            print_freq=args.print_freq)
+            print_freq=args.print_freq, log_writer=log_writer)
 
     print(f"Training time {time.time() - t_start:.0f}s")
     save_model(args.epochs, "final", best_so_far)
@@ -416,7 +426,7 @@ def train(args):
 
 
 def train_one_epoch(model, state, step_fn, data_loader, epoch, spec,
-                    print_freq=20):
+                    print_freq=20, log_writer=None):
     metric_logger = MetricLogger()
     header = f"Epoch: [{epoch}]"
     data_loader.set_epoch(epoch)
@@ -435,6 +445,15 @@ def train_one_epoch(model, state, step_fn, data_loader, epoch, spec,
         host_metrics = {k: float(v) for k, v in metrics.items()
                         if np.ndim(v) == 0}
         metric_logger.update(epoch=epoch_f, **host_metrics)
+
+        if log_writer is not None and print_freq and i % print_freq == 0:
+            epoch_1000x = int(epoch_f * 1000)
+            log_writer.add_scalar("train_loss", loss_value, epoch_1000x)
+            log_writer.add_scalar("train_lr", host_metrics.get("lr", 0.0),
+                                  epoch_1000x)
+            for name, val in host_metrics.items():
+                if name not in ("loss", "lr", "epoch"):
+                    log_writer.add_scalar("train_" + name, val, epoch_1000x)
 
     print("Averaged stats:", metric_logger)
     return state, {k: m.global_avg for k, m in metric_logger.meters.items()}
