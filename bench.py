@@ -120,6 +120,47 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300):
     return iters_per_sec
 
 
+def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8):
+    """Pairs/sec through the encoder-caching engine on a complete
+    symmetrized scene graph (the aligner/demo workload).
+
+    Each unique image is encoded once and reused across its N-1 pairs -
+    the architectural win over the reference's per-pair encoding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dust3r_tpu.models.model import dust3r_512_dpt
+    from dust3r_tpu.inference import InferenceEngine
+    from dust3r_tpu.image_pairs import make_pairs
+
+    model = dust3r_512_dpt(dtype=jnp.bfloat16)
+
+    @jax.jit
+    def init_bf16(key, i1, i2):
+        p = model.init(key, i1, i2)
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p)
+
+    rng = np.random.default_rng(0)
+    views = [dict(img=rng.standard_normal((1, H, W, 3)).astype(np.float32),
+                  true_shape=np.int32([[H, W]]), idx=i, instance=str(i))
+             for i in range(n_imgs)]
+    probe = jnp.asarray(views[0]["img"])
+    params = init_bf16(jax.random.PRNGKey(0), probe, probe)
+    engine = InferenceEngine(model, params, batch_size=batch_size)
+
+    pairs = make_pairs(views, "complete", symmetrize=True)
+    log(f"scene graph: {n_imgs} images, {len(pairs)} pairs; warmup ...")
+    engine.infer_pairs(pairs)  # compile + warmup
+    t0 = time.perf_counter()
+    out = engine.infer_pairs(pairs)
+    dt = time.perf_counter() - t0
+    pps = len(pairs) / dt
+    log(f"scene-graph inference: {len(pairs)} pairs in {dt:.2f}s "
+        f"=> {pps:.2f} pairs/s (encoder cached per unique image)")
+    return pps
+
+
 def main():
     import jax
     log(f"devices: {jax.devices()}")
@@ -127,6 +168,10 @@ def main():
         bench_aligner_iters_per_sec()
     except Exception as e:
         log(f"aligner bench failed: {type(e).__name__}: {e}")
+    try:
+        bench_scene_graph()
+    except Exception as e:
+        log(f"scene-graph bench failed: {type(e).__name__}: {e}")
     value = None
     for bs in (8, 4, 2, 1):
         try:

@@ -15,6 +15,7 @@ import math
 import os
 
 import numpy as np
+from jax.numpy import asarray as jnp_asarray
 
 from .inference import InferenceEngine, inference
 from .image_pairs import make_pairs
@@ -114,7 +115,9 @@ def get_3D_model_from_scene(outdir, silent, scene, min_conf_thr=3,
     focals = np.asarray(scene.get_focals())
     cams2world = np.asarray(scene.get_im_poses())
     pts3d = [np.asarray(p) for p in scene.get_pts3d()]
-    scene.min_conf_thr = float(min_conf_thr)
+    # reference quirk (dust3r/demo.py:131): the UI threshold is passed
+    # through the conf transform before comparing against raw conf maps
+    scene.min_conf_thr = float(scene.conf_trf(jnp_asarray(min_conf_thr)))
     msk = scene.get_masks()
     return _convert_scene_output_to_glb(
         outdir, rgbimg, pts3d, msk, focals, cams2world,
