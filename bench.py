@@ -106,12 +106,14 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300):
     # compile
     t0 = time.perf_counter()
     params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
-                                    dict(scene.masks), lrs)
+                                    dict(scene.masks), lrs,
+                                    dict(scene.consts))
     _ = float(losses[-1])
     log(f"aligner compile+first {niter} iters: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
-                                    dict(scene.masks), lrs)
+                                    dict(scene.masks), lrs,
+                                    dict(scene.consts))
     _ = float(losses[-1])
     dt = time.perf_counter() - t0
     iters_per_sec = niter / dt

@@ -102,18 +102,22 @@ class BasePCOptimizer:
         self.conf_j = {edge_str(i, j): conf_j[e]
                        for e, (i, j) in enumerate(self.edges)}
 
-        # stacked device tensors
-        self._stacked_pred_i = jnp.asarray(
-            np.stack([_ravel_pad(p, A) for p in pred_i]))
-        self._stacked_pred_j = jnp.asarray(
-            np.stack([_ravel_pad(p, A) for p in pred_j]))
-        # pre-transformed conf weights; padding has weight exactly 0
+        # stacked device tensors, kept in a consts pytree that is passed as
+        # a jit ARGUMENT to the optimization loop (closing over them would
+        # bake hundreds of MB of constants into the XLA program)
         w_i = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_i]
         w_j = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_j]
-        self._weight_i = jnp.asarray(np.stack([_ravel_pad(w, A) for w in w_i]))
-        self._weight_j = jnp.asarray(np.stack([_ravel_pad(w, A) for w in w_j]))
-        self._ei = jnp.asarray([i for i, j in self.edges])
-        self._ej = jnp.asarray([j for i, j in self.edges])
+        self.consts = {
+            "stacked_pred_i": jnp.asarray(
+                np.stack([_ravel_pad(p, A) for p in pred_i])),
+            "stacked_pred_j": jnp.asarray(
+                np.stack([_ravel_pad(p, A) for p in pred_j])),
+            # pre-transformed conf weights; padding has weight exactly 0
+            "weight_i": jnp.asarray(np.stack([_ravel_pad(w, A) for w in w_i])),
+            "weight_j": jnp.asarray(np.stack([_ravel_pad(w, A) for w in w_j])),
+            "ei": jnp.asarray([i for i, j in self.edges]),
+            "ej": jnp.asarray([j for i, j in self.edges]),
+        }
         self.total_area_i = sum(im_areas[i] for i, j in self.edges)
         self.total_area_j = sum(im_areas[j] for i, j in self.edges)
 
@@ -238,7 +242,7 @@ class BasePCOptimizer:
 
     # subclass responsibilities ----------------------------------------- #
 
-    def depth_to_pts3d(self, params=None):
+    def depth_to_pts3d(self, params=None, consts=None):
         raise NotImplementedError
 
     def get_pts3d(self, raw=False, params=None):
@@ -264,19 +268,23 @@ class BasePCOptimizer:
     # loss (pure function of params - used by the scan loop and forward)
     # ------------------------------------------------------------------ #
 
-    def loss_fn(self, params):
-        """Confidence-weighted 3D consistency over all edges."""
+    def loss_fn(self, params, consts=None):
+        """Confidence-weighted 3D consistency over all edges.
+
+        `consts` carries the stacked edge tensors; inside the jitted scan
+        loop it is threaded as an argument (never a closure constant)."""
+        c = self.consts if consts is None else consts
         pw_poses = self.get_pw_poses(params)
         pw_adapt = self.get_adaptors(params)[:, None, :]  # (E,1,3)
-        proj_pts3d = self.depth_to_pts3d(params)  # (N, A, 3)
+        proj_pts3d = self.depth_to_pts3d(params, consts=c)  # (N, A, 3)
 
-        aligned_pred_i = geotrf(pw_poses, pw_adapt * self._stacked_pred_i)
-        aligned_pred_j = geotrf(pw_poses, pw_adapt * self._stacked_pred_j)
+        aligned_pred_i = geotrf(pw_poses, pw_adapt * c["stacked_pred_i"])
+        aligned_pred_j = geotrf(pw_poses, pw_adapt * c["stacked_pred_j"])
 
-        li = jnp.sum(self.dist(proj_pts3d[self._ei], aligned_pred_i,
-                               self._weight_i)) / self.total_area_i
-        lj = jnp.sum(self.dist(proj_pts3d[self._ej], aligned_pred_j,
-                               self._weight_j)) / self.total_area_j
+        li = jnp.sum(self.dist(proj_pts3d[c["ei"]], aligned_pred_i,
+                               c["weight_i"])) / self.total_area_i
+        lj = jnp.sum(self.dist(proj_pts3d[c["ej"]], aligned_pred_j,
+                               c["weight_j"])) / self.total_area_j
         return li + lj
 
     def forward(self):

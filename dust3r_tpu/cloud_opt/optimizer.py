@@ -52,9 +52,9 @@ class PointCloudOptimizer(BasePCOptimizer):
             "im_pp": jnp.full((N, 2), float(optimize_pp), jnp.float32),
         })
 
-        self._pp_base = jnp.asarray([(w / 2, h / 2) for h, w in self.imshapes],
-                                    jnp.float32)
-        self._grid = jnp.asarray(np.stack([
+        self.consts["pp_base"] = jnp.asarray(
+            [(w / 2, h / 2) for h, w in self.imshapes], jnp.float32)
+        self.consts["grid"] = jnp.asarray(np.stack([
             _ravel_pad(np.asarray(xy_grid(w, h)), A) for h, w in self.imshapes]))
 
     # ------------------------------------------------------------------ #
@@ -151,9 +151,10 @@ class PointCloudOptimizer(BasePCOptimizer):
     def get_known_focal_mask(self):
         return ~np.asarray(self.masks["im_focals"][:, 0]).astype(bool)
 
-    def get_principal_points(self, params=None):
+    def get_principal_points(self, params=None, consts=None):
         p = (params or self.params)["im_pp"]
-        return self._pp_base + 10 * p
+        pp_base = (consts or self.consts)["pp_base"]
+        return pp_base + 10 * p
 
     def get_intrinsics(self):
         focals = np.asarray(self.get_focals()).reshape(-1)
@@ -175,14 +176,15 @@ class PointCloudOptimizer(BasePCOptimizer):
         return [d[n, :h * w].reshape(h, w)
                 for n, (h, w) in enumerate(self.imshapes)]
 
-    def depth_to_pts3d(self, params=None):
+    def depth_to_pts3d(self, params=None, consts=None):
         params = params or self.params
+        c = self.consts if consts is None else consts
         focals = self.get_focals(params)  # (N,1)
-        pp = self.get_principal_points(params)  # (N,2)
+        pp = self.get_principal_points(params, consts=c)  # (N,2)
         im_poses = self.get_im_poses(params)  # (N,4,4)
         depth = self.get_depthmaps(raw=True, params=params)  # (N,A)
         rel = jnp.concatenate([
-            depth[..., None] * (self._grid - pp[:, None, :]) / focals[:, :, None],
+            depth[..., None] * (c["grid"] - pp[:, None, :]) / focals[:, :, None],
             depth[..., None]], axis=-1)  # (N, A, 3)
         return geotrf(im_poses, rel)
 
@@ -192,18 +194,20 @@ class PointCloudOptimizer(BasePCOptimizer):
 # ---------------------------------------------------------------------- #
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _run_alignment(loss_fn, params, masks, lrs):
+def _run_alignment(loss_fn, params, masks, lrs, consts):
     """Scan Adam(0.9, 0.9) over the precomputed LR schedule.
 
     Returns (final params, per-iter losses). Frozen entries receive zero
-    gradient via the masks (their Adam moments stay exactly zero).
+    gradient via the masks (their Adam moments stay exactly zero). The
+    stacked edge tensors are threaded through `consts` as jit arguments
+    so they never become XLA program constants.
     """
     opt = optax.scale_by_adam(b1=0.9, b2=0.9)
     opt_state = opt.init(params)
 
     def step(carry, lr):
         params, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params, consts)
         grads = jax.tree.map(lambda g, m: g * m, grads, masks)
         updates, opt_state = opt.update(grads, opt_state)
         params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
@@ -229,7 +233,8 @@ def global_alignment_loop(scene, lr=0.01, niter=300, schedule="cosine",
 
     lrs = make_lr_schedule(schedule, niter, lr, lr_min)
     params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
-                                    dict(scene.masks), lrs)
+                                    dict(scene.masks), lrs,
+                                    dict(scene.consts))
     scene.params = params  # stays on device
     scene.last_losses = np.asarray(losses)
     final = float(scene.loss_fn(scene.params))
