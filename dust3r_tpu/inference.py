@@ -48,23 +48,32 @@ class InferenceEngine:
         self._encode = jax.jit(
             lambda p, img: model.apply(p, img, method="encode"))
 
-        @functools.partial(jax.jit, static_argnums=(5, 6))
-        def _decode_head(p, f1, pos1, f2, pos2, shape1, shape2):
-            dec1, dec2 = model.apply(p, f1, pos1, f2, pos2, method="decode")
+        @functools.partial(jax.jit, static_argnums=(7, 8))
+        def _decode_head_gather(p, feats, pos, feats2, pos2, idx1, idx2,
+                                shape1, shape2):
+            """Gather the pair batch from stacked encoder features and run
+            decoder + heads - ONE dispatch per batch (the gather happens
+            on device, no host round-trips)."""
+            f1 = jnp.take(feats, idx1, axis=0)
+            p1 = jnp.take(pos, idx1, axis=0)
+            f2 = jnp.take(feats2, idx2, axis=0)
+            p2 = jnp.take(pos2, idx2, axis=0)
+            dec1, dec2 = model.apply(p, f1, p1, f2, p2, method="decode")
             res1 = model.apply(p, 1, dec1, shape1, method="head")
             res2 = model.apply(p, 2, dec2, shape2, method="head")
             res2["pts3d_in_other_view"] = res2.pop("pts3d")
             return res1, res2
 
-        self._decode_head = _decode_head
+        self._decode_head_gather = _decode_head_gather
 
     # ------------------------------------------------------------------ #
 
     def encode_views(self, views):
-        """Encode unique view dicts; returns {id(view): (feat, pos)}.
+        """Encode unique view dicts once each.
 
-        Views are grouped by image shape; each group runs in padded
-        batches of self.batch_size.
+        Returns ({id(view): (shape, slot)}, {shape: (feats, pos)}) with
+        feats stacked (U, S, D) per shape bucket - downstream batches are
+        gathered on device by slot index (no per-pair host round-trips).
         """
         unique = {}
         for v in views:
@@ -76,24 +85,33 @@ class InferenceEngine:
             assert img.ndim == 4 and img.shape[0] == 1, "views hold (1,H,W,3)"
             by_shape[img.shape[1:3]].append(key)
 
-        feats = {}
+        slots = {}
+        stacked = {}
         for shape, keys in by_shape.items():
+            chunks_f, chunks_p = [], []
             for i in range(0, len(keys), self.batch_size):
                 chunk = keys[i:i + self.batch_size]
-                imgs = _pad_batch([np.asarray(unique[k]["img"])[0] for k in chunk],
-                                  self.batch_size)
+                imgs = _pad_batch(
+                    [np.asarray(unique[k]["img"])[0] for k in chunk],
+                    self.batch_size)
                 f, pos = self._encode(self.params, jnp.asarray(imgs))
+                chunks_f.append(f[:len(chunk)])
+                chunks_p.append(pos[:len(chunk)])
                 for n, k in enumerate(chunk):
-                    feats[k] = (f[n], pos[n])
-        return feats
+                    slots[k] = (shape, i + n)
+            stacked[shape] = (jnp.concatenate(chunks_f),
+                              jnp.concatenate(chunks_p))
+        return slots, stacked
 
-    def infer_pairs(self, pairs, verbose=False):
+    def infer_pairs(self, pairs, verbose=False, to_cpu=True):
         """Run the two-view model over a list of (view1, view2) dict pairs.
 
-        Returns the reference-format output dict with numpy predictions.
+        Returns the reference-format output dict; predictions are numpy
+        when to_cpu (the reference contract, inference.py:68) or stay on
+        device when to_cpu=False (zero-copy hand-off to the aligner).
         """
         views = [v for pair in pairs for v in pair]
-        feats = self.encode_views(views)
+        slots, stacked = self.encode_views(views)
 
         # group pair indices by (shape1, shape2)
         by_bucket = defaultdict(list)
@@ -106,35 +124,42 @@ class InferenceEngine:
         pred2 = [None] * len(pairs)
         bs = self.batch_size
         for (s1, s2), idxs in by_bucket.items():
+            feats1, pos1 = stacked[s1]
+            feats2, pos2 = stacked[s2]
             for i in range(0, len(idxs), bs):
                 chunk = idxs[i:i + bs]
-                f1 = [feats[id(pairs[n][0])] for n in chunk]
-                f2 = [feats[id(pairs[n][1])] for n in chunk]
+                slot1 = [slots[id(pairs[n][0])][1] for n in chunk]
+                slot2 = [slots[id(pairs[n][1])][1] for n in chunk]
                 pad = bs - len(chunk)
-                stack = lambda xs: jnp.concatenate(
-                    [jnp.stack(xs)] + ([jnp.stack(xs[-1:] * pad)] if pad else []))
-                r1, r2 = self._decode_head(
-                    self.params,
-                    stack([a for a, _ in f1]), stack([p for _, p in f1]),
-                    stack([a for a, _ in f2]), stack([p for _, p in f2]),
-                    s1, s2)
+                if pad:
+                    slot1 = slot1 + slot1[-1:] * pad
+                    slot2 = slot2 + slot2[-1:] * pad
+                r1, r2 = self._decode_head_gather(
+                    self.params, feats1, pos1, feats2, pos2,
+                    jnp.asarray(slot1, jnp.int32),
+                    jnp.asarray(slot2, jnp.int32), s1, s2)
                 for m, n in enumerate(chunk):
                     pred1[n] = {k: v[m] for k, v in r1.items()}
                     pred2[n] = {k: v[m] for k, v in r2.items()}
 
-        # single host sync
-        pred1, pred2 = jax.device_get((pred1, pred2))
+        if to_cpu:
+            pred1, pred2 = jax.device_get((pred1, pred2))
 
         multiple_shapes = len(by_bucket) > 1
-        return collate_inference_output(pairs, pred1, pred2, multiple_shapes)
+        return collate_inference_output(pairs, pred1, pred2, multiple_shapes,
+                                        numpy=to_cpu)
 
 
-def collate_inference_output(pairs, pred1, pred2, multiple_shapes):
+def collate_inference_output(pairs, pred1, pred2, multiple_shapes,
+                             numpy=True):
     """Build the reference-format result dict.
 
-    Uniform shapes: stacked numpy arrays. Mixed shapes: python lists
-    (matching reference inference.py:70 `lists=multiple_shapes`).
+    Uniform shapes: stacked arrays. Mixed shapes: python lists (matching
+    reference inference.py:70 `lists=multiple_shapes`). numpy=False keeps
+    device arrays (stacked with jnp).
     """
+    xp = np if numpy else jnp
+
     def collate_views(views):
         out = {}
         keys = views[0].keys()
@@ -154,8 +179,8 @@ def collate_inference_output(pairs, pred1, pred2, multiple_shapes):
     def collate_preds(preds):
         out = {}
         for k in preds[0].keys():
-            vals = [np.asarray(p[k]) for p in preds]
-            out[k] = vals if multiple_shapes else np.stack(vals)
+            vals = [(np.asarray(p[k]) if numpy else p[k]) for p in preds]
+            out[k] = vals if multiple_shapes else xp.stack(vals)
         return out
 
     return dict(
