@@ -1,0 +1,112 @@
+"""ctypes bindings for the native host-side image core (native/fastimg.cpp).
+
+Falls back to numpy transparently when the shared library hasn't been
+built; `ensure_built()` compiles it on demand with g++.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import os.path as osp
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.dirname(
+    osp.abspath(__file__)))), "native")
+_LIB_PATH = osp.join(_NATIVE_DIR, "libfastimg.so")
+
+
+def ensure_built(force=False):
+    """Compile the shared library if missing; returns path or None."""
+    if osp.isfile(_LIB_PATH) and not force:
+        return _LIB_PATH
+    src = osp.join(_NATIVE_DIR, "fastimg.cpp")
+    if not osp.isfile(src):
+        return None
+    try:
+        subprocess.run(["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                        "-fPIC", "-o", _LIB_PATH, src], check=True,
+                       capture_output=True)
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = ensure_built()
+    if path is None:
+        _LIB = False
+        return False
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _LIB = False
+        return False
+    lib.imgnorm_u8_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64]
+    lib.unnorm_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64]
+    lib.depth_valid_mask.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64]
+    lib.resize_nearest_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64]
+    _LIB = lib
+    return lib
+
+
+def available():
+    return bool(_load())
+
+
+def imgnorm(arr_u8):
+    """uint8 (..., 3) -> float32 in [-1, 1]; native when available."""
+    arr_u8 = np.ascontiguousarray(arr_u8, dtype=np.uint8)
+    lib = _load()
+    if not lib:
+        return (arr_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    out = np.empty(arr_u8.shape, np.float32)
+    lib.imgnorm_u8_f32(
+        arr_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), arr_u8.size)
+    return out
+
+
+def depth_valid(depth_f32):
+    """float32 depth -> bool validity mask (depth > 0 and finite)."""
+    depth_f32 = np.ascontiguousarray(depth_f32, dtype=np.float32)
+    lib = _load()
+    if not lib:
+        return (depth_f32 > 0) & np.isfinite(depth_f32)
+    out = np.empty(depth_f32.shape, np.uint8)
+    lib.depth_valid_mask(
+        depth_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), depth_f32.size)
+    return out.astype(bool)
+
+
+def resize_nearest(depth_f32, out_h, out_w):
+    """Nearest-neighbor depth resize (cv2.INTER_NEAREST semantics)."""
+    depth_f32 = np.ascontiguousarray(depth_f32, dtype=np.float32)
+    lib = _load()
+    if not lib:
+        sh, sw = depth_f32.shape
+        ys = np.minimum((np.arange(out_h) * sh / out_h).astype(np.int64),
+                        sh - 1)
+        xs = np.minimum((np.arange(out_w) * sw / out_w).astype(np.int64),
+                        sw - 1)
+        return depth_f32[ys][:, xs]
+    sh, sw = depth_f32.shape
+    out = np.empty((out_h, out_w), np.float32)
+    lib.resize_nearest_f32(
+        depth_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), sh, sw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_h, out_w)
+    return out
