@@ -120,12 +120,16 @@ class InferenceEngine:
             s2 = tuple(np.asarray(v2["img"]).shape[1:3])
             by_bucket[(s1, s2)].append(n)
 
+        # per bucket: batched decode+head, results concatenated ONCE on
+        # device; no per-pair device slicing (each tiny slice would be a
+        # separate dispatch)
         pred1 = [None] * len(pairs)
         pred2 = [None] * len(pairs)
         bs = self.batch_size
         for (s1, s2), idxs in by_bucket.items():
             feats1, pos1 = stacked[s1]
             feats2, pos2 = stacked[s2]
+            parts1, parts2 = [], []
             for i in range(0, len(idxs), bs):
                 chunk = idxs[i:i + bs]
                 slot1 = [slots[id(pairs[n][0])][1] for n in chunk]
@@ -138,16 +142,46 @@ class InferenceEngine:
                     self.params, feats1, pos1, feats2, pos2,
                     jnp.asarray(slot1, jnp.int32),
                     jnp.asarray(slot2, jnp.int32), s1, s2)
-                for m, n in enumerate(chunk):
-                    pred1[n] = {k: v[m] for k, v in r1.items()}
-                    pred2[n] = {k: v[m] for k, v in r2.items()}
+                keep = len(chunk)
+                parts1.append({k: v[:keep] for k, v in r1.items()})
+                parts2.append({k: v[:keep] for k, v in r2.items()})
 
-        if to_cpu:
-            pred1, pred2 = jax.device_get((pred1, pred2))
+            bucket1 = {k: jnp.concatenate([p[k] for p in parts1])
+                       for k in parts1[0]}
+            bucket2 = {k: jnp.concatenate([p[k] for p in parts2])
+                       for k in parts2[0]}
+            if to_cpu:
+                bucket1, bucket2 = jax.device_get((bucket1, bucket2))
 
-        multiple_shapes = len(by_bucket) > 1
-        return collate_inference_output(pairs, pred1, pred2, multiple_shapes,
+            if len(by_bucket) == 1:
+                # uniform shapes: bucket order == pair order, hand the
+                # stacked arrays straight to the output (zero re-slicing)
+                return dict(
+                    view1=_collate_views([p[0] for p in pairs], False),
+                    view2=_collate_views([p[1] for p in pairs], False),
+                    pred1=bucket1, pred2=bucket2)
+
+            for m, n in enumerate(idxs):
+                pred1[n] = {k: v[m] for k, v in bucket1.items()}
+                pred2[n] = {k: v[m] for k, v in bucket2.items()}
+
+        return collate_inference_output(pairs, pred1, pred2, True,
                                         numpy=to_cpu)
+
+
+def _collate_views(views, multiple_shapes):
+    out = {}
+    keys = views[0].keys()
+    for k in keys:
+        vals = [v[k] for v in views]
+        if k == "img":
+            vals = [np.asarray(v)[0] for v in vals]
+            out[k] = vals if multiple_shapes else np.stack(vals)
+        elif k == "true_shape":
+            out[k] = np.concatenate([np.asarray(v) for v in vals])
+        else:
+            out[k] = list(vals)
+    return out
 
 
 def collate_inference_output(pairs, pred1, pred2, multiple_shapes,
@@ -160,22 +194,6 @@ def collate_inference_output(pairs, pred1, pred2, multiple_shapes,
     """
     xp = np if numpy else jnp
 
-    def collate_views(views):
-        out = {}
-        keys = views[0].keys()
-        for k in keys:
-            vals = [v[k] for v in views]
-            if k == "img":
-                vals = [np.asarray(v)[0] for v in vals]
-                out[k] = vals if multiple_shapes else np.stack(vals)
-            elif k == "true_shape":
-                out[k] = np.concatenate([np.asarray(v) for v in vals])
-            elif isinstance(vals[0], (int, np.integer)):
-                out[k] = list(vals)
-            else:
-                out[k] = list(vals)
-        return out
-
     def collate_preds(preds):
         out = {}
         for k in preds[0].keys():
@@ -184,8 +202,8 @@ def collate_inference_output(pairs, pred1, pred2, multiple_shapes,
         return out
 
     return dict(
-        view1=collate_views([p[0] for p in pairs]),
-        view2=collate_views([p[1] for p in pairs]),
+        view1=_collate_views([p[0] for p in pairs], multiple_shapes),
+        view2=_collate_views([p[1] for p in pairs], multiple_shapes),
         pred1=collate_preds(pred1),
         pred2=collate_preds(pred2),
     )
