@@ -165,6 +165,23 @@ class BasePCOptimizer:
     def imsizes(self):
         return [(w, h) for h, w in self.imshapes]
 
+    def state_dict(self, trainable=True):
+        """Scene parameter snapshot (reference base_opt.py:121-126).
+
+        trainable=True returns the optimized parameters (host numpy);
+        False returns the frozen observation buffers.
+        """
+        if trainable:
+            return {k: np.asarray(v) for k, v in self.params.items()}
+        return dict(consts=jax.device_get(self.consts),
+                    im_conf=[np.asarray(c) for c in self.im_conf])
+
+    def load_state_dict(self, data):
+        for k, v in data.items():
+            if k in self.params:
+                self.params[k] = jnp.asarray(v)
+        return self
+
     def _check_edges(self):
         indices = sorted({i for e in self.edges for i in e})
         assert indices == list(range(len(indices))), \

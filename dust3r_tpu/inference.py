@@ -138,17 +138,20 @@ class InferenceEngine:
                 if pad:
                     slot1 = slot1 + slot1[-1:] * pad
                     slot2 = slot2 + slot2[-1:] * pad
+                # numpy index arrays go straight in as jit arguments -
+                # no separate transfer dispatch
                 r1, r2 = self._decode_head_gather(
                     self.params, feats1, pos1, feats2, pos2,
-                    jnp.asarray(slot1, jnp.int32),
-                    jnp.asarray(slot2, jnp.int32), s1, s2)
-                keep = len(chunk)
-                parts1.append({k: v[:keep] for k, v in r1.items()})
-                parts2.append({k: v[:keep] for k, v in r2.items()})
+                    np.asarray(slot1, np.int32),
+                    np.asarray(slot2, np.int32), s1, s2)
+                parts1.append(r1)
+                parts2.append(r2)
 
-            bucket1 = {k: jnp.concatenate([p[k] for p in parts1])
+            # concatenate once per bucket and trim the final pad
+            total = len(idxs)
+            bucket1 = {k: jnp.concatenate([p[k] for p in parts1])[:total]
                        for k in parts1[0]}
-            bucket2 = {k: jnp.concatenate([p[k] for p in parts2])
+            bucket2 = {k: jnp.concatenate([p[k] for p in parts2])[:total]
                        for k in parts2[0]}
             if to_cpu:
                 bucket1, bucket2 = jax.device_get((bucket1, bucket2))
