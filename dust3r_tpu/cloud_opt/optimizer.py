@@ -121,7 +121,9 @@ class PointCloudOptimizer(BasePCOptimizer):
     def _set_focal(self, idx, focal, force=False):
         if np.asarray(self.masks["im_focals"][idx]).any() or force:
             cur = np.array(self.params["im_focals"])
-            cur[idx] = self.focal_break * np.log(focal)
+            # degenerate pointmaps can give focal ~ 0 (Weiszfeld on noise);
+            # clamp so log stays finite
+            cur[idx] = self.focal_break * np.log(max(float(focal), 1e-4))
             self.params["im_focals"] = jnp.asarray(cur)
 
     def _set_principal_point(self, idx, pp, force=False):
