@@ -153,7 +153,8 @@ def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8):
 
     pairs = make_pairs(views, "complete", symmetrize=True)
     log(f"scene graph: {n_imgs} images, {len(pairs)} pairs; warmup ...")
-    engine.infer_pairs(pairs, to_cpu=False)  # compile + warmup
+    warm = engine.infer_pairs(pairs, to_cpu=False)  # compile + warmup
+    _ = float(jnp.sum(warm["pred1"]["pts3d"][-1][0, 0]))  # sync warmup
     t0 = time.perf_counter()
     out = engine.infer_pairs(pairs, to_cpu=False)
     # device-side sync (results stay on device for the aligner hand-off)
