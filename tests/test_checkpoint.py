@@ -81,6 +81,35 @@ class TestTorchConversion:
         b = np.asarray(p["dec_blocks2_0"]["attn"]["qkv"]["kernel"])
         np.testing.assert_array_equal(a, b)
 
+    def test_dpt_full_forward_parity(self):
+        """DPT-head variant: torch reimplementation vs JAX through the
+        converter - validates the entire DPT trunk mapping + composition
+        (the highest-risk parity component, SURVEY.md §7)."""
+        torch.manual_seed(1)
+        cfg = dict(TINY, dec_depth=12)
+        tmodel = TorchDust3R(head_type="dpt", **cfg).eval()
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+        variables = convert_torch_state_dict(sd, enc_depth=2, dec_depth=12,
+                                             head_type="dpt")
+        jmodel = AsymmetricCroCo3DStereo(
+            img_size=(32, 32), head_type="dpt", attn_impl="ref", **cfg)
+
+        rng = np.random.default_rng(2)
+        img1 = rng.standard_normal((1, 32, 48, 3)).astype(np.float32)
+        img2 = rng.standard_normal((1, 32, 48, 3)).astype(np.float32)
+        with torch.no_grad():
+            tp1, tc1, tp2, tc2 = tmodel(
+                torch.from_numpy(img1).permute(0, 3, 1, 2),
+                torch.from_numpy(img2).permute(0, 3, 1, 2))
+        res1, res2 = jmodel.apply(variables, jnp.asarray(img1),
+                                  jnp.asarray(img2))
+        np.testing.assert_allclose(np.asarray(res1["pts3d"]), tp1.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res1["conf"]), tc1.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res2["pts3d_in_other_view"]),
+                                   tp2.numpy(), rtol=1e-3, atol=1e-4)
+
     def test_param_tree_matches_model_init(self, converted):
         """Converted tree must have exactly the structure model.init makes."""
         tmodel, jmodel, variables = converted
