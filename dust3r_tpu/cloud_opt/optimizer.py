@@ -26,11 +26,13 @@ class PointCloudOptimizer(BasePCOptimizer):
     """Adds per-image learnables: log-depthmaps, 7-dof poses, log-focals
     (scaled by focal_break), optional principal points."""
 
-    def __init__(self, *args, optimize_pp=False, focal_break=20, **kwargs):
+    def __init__(self, *args, optimize_pp=False, focal_break=20,
+                 fx_and_fy=False, **kwargs):
         super().__init__(*args, **kwargs)
         self.has_im_poses = True
         self.focal_break = focal_break
         self.optimize_pp = optimize_pp
+        self.n_focals = 2 if fx_and_fy else 1
 
         N, A = self.n_imgs, self.max_area
         rng = np.random.default_rng(1)
@@ -41,14 +43,15 @@ class PointCloudOptimizer(BasePCOptimizer):
         self.params.update({
             "im_depthmaps": jnp.asarray(depth_init),  # log depth, (N, A)
             "im_poses": jnp.asarray(self.rand_pose((N, self.POSE_DIM))),
-            "im_focals": jnp.asarray([[focal_break * np.log(max(hw))]
-                                      for hw in self.imshapes], jnp.float32),
+            "im_focals": jnp.asarray(
+                [[focal_break * np.log(max(hw))] * self.n_focals
+                 for hw in self.imshapes], jnp.float32),
             "im_pp": jnp.zeros((N, 2), jnp.float32),
         })
         self.masks.update({
             "im_depthmaps": jnp.ones((N, A), jnp.float32),
             "im_poses": jnp.ones((N, self.POSE_DIM), jnp.float32),
-            "im_focals": jnp.ones((N, 1), jnp.float32),
+            "im_focals": jnp.ones((N, self.n_focals), jnp.float32),
             "im_pp": jnp.full((N, 2), float(optimize_pp), jnp.float32),
         })
 
@@ -92,10 +95,10 @@ class PointCloudOptimizer(BasePCOptimizer):
 
     def preset_focal(self, known_focals, msk=None):
         idxs = self._get_msk_indices(msk)
-        for idx, focal in zip(idxs, np.atleast_1d(np.asarray(known_focals))):
+        for idx, focal in zip(idxs, known_focals):
             if self.verbose:
                 print(f" (setting focal #{idx} = {focal})")
-            self._set_focal(idx, float(focal), force=True)
+            self._set_focal(idx, focal, force=True)
         self._freeze("im_focals", idxs)
 
     def preset_principal_point(self, known_pp, msk=None):
@@ -122,8 +125,10 @@ class PointCloudOptimizer(BasePCOptimizer):
         if np.asarray(self.masks["im_focals"][idx]).any() or force:
             cur = np.array(self.params["im_focals"])
             # degenerate pointmaps can give focal ~ 0 (Weiszfeld on noise);
-            # clamp so log stays finite
-            cur[idx] = self.focal_break * np.log(max(float(focal), 1e-4))
+            # clamp so log stays finite. Scalar focal broadcasts to fx=fy;
+            # a pair sets fx != fy (Modular fx_and_fy mode).
+            vals = np.atleast_1d(np.asarray(focal, np.float64))
+            cur[idx] = self.focal_break * np.log(np.maximum(vals, 1e-4))
             self.params["im_focals"] = jnp.asarray(cur)
 
     def _set_principal_point(self, idx, pp, force=False):
@@ -148,7 +153,7 @@ class PointCloudOptimizer(BasePCOptimizer):
 
     def get_focals(self, params=None):
         p = (params or self.params)["im_focals"]
-        return jnp.exp(p / self.focal_break)  # (N, 1)
+        return jnp.exp(p / self.focal_break)  # (N, 1) or (N, 2) if fx_and_fy
 
     def get_known_focal_mask(self):
         return ~np.asarray(self.masks["im_focals"][:, 0]).astype(bool)
@@ -159,10 +164,11 @@ class PointCloudOptimizer(BasePCOptimizer):
         return pp_base + 10 * p
 
     def get_intrinsics(self):
-        focals = np.asarray(self.get_focals()).reshape(-1)
+        focals = np.asarray(self.get_focals())
         pp = np.asarray(self.get_principal_points())
         K = np.zeros((self.n_imgs, 3, 3), np.float32)
-        K[:, 0, 0] = K[:, 1, 1] = focals
+        K[:, 0, 0] = focals[:, 0]
+        K[:, 1, 1] = focals[:, -1]  # == fx when a single focal is stored
         K[:, :2, 2] = pp
         K[:, 2, 2] = 1
         return jnp.asarray(K)
@@ -185,8 +191,10 @@ class PointCloudOptimizer(BasePCOptimizer):
         pp = self.get_principal_points(params, consts=c)  # (N,2)
         im_poses = self.get_im_poses(params)  # (N,4,4)
         depth = self.get_depthmaps(raw=True, params=params)  # (N,A)
+        # focals (N,1) broadcasts to fx=fy; (N,2) is per-axis (fx, fy)
         rel = jnp.concatenate([
-            depth[..., None] * (c["grid"] - pp[:, None, :]) / focals[:, :, None],
+            depth[..., None] * (c["grid"] - pp[:, None, :])
+            / focals[:, None, :],
             depth[..., None]], axis=-1)  # (N, A, 3)
         return geotrf(im_poses, rel)
 
@@ -257,9 +265,19 @@ class ModularPointCloudOptimizer(PointCloudOptimizer):
 
     def __init__(self, *args, optimize_pp=False, fx_and_fy=False,
                  focal_brake=20, **kwargs):
-        assert not fx_and_fy, "fx_and_fy not supported yet"
         super().__init__(*args, optimize_pp=optimize_pp,
-                         focal_break=focal_brake, **kwargs)
+                         focal_break=focal_brake, fx_and_fy=fx_and_fy,
+                         **kwargs)
+
+    def preset_intrinsics(self, known_intrinsics, msk=None):
+        known_K = np.asarray(known_intrinsics)
+        if known_K.ndim == 2:
+            known_K = known_K[None]
+        if self.n_focals == 2:
+            self.preset_focal([K.diagonal()[:2] for K in known_K], msk)
+        else:
+            self.preset_focal([K.diagonal()[:2].mean() for K in known_K], msk)
+        self.preset_principal_point([K[:2, 2] for K in known_K], msk)
 
     def preset_pose(self, known_poses, pose_msk=None):
         idxs = self._get_msk_indices(pose_msk)

@@ -184,3 +184,26 @@ class TestPairViewer:
         pts = scene.get_pts3d()
         assert len(pts) == 2
         assert np.isnan(scene.forward())
+
+
+class TestModularFxFy:
+    def test_fx_and_fy_presets(self):
+        from dust3r_tpu.cloud_opt import ModularPointCloudOptimizer
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = ModularPointCloudOptimizer(
+            out["view1"], out["view2"], out["pred1"], out["pred2"],
+            fx_and_fy=True, verbose=False)
+        assert np.asarray(scene.get_focals()).shape == (3, 2)
+        K = np.eye(3, dtype=np.float32)
+        K[0, 0], K[1, 1] = 42.0, 37.0
+        K[0, 2], K[1, 2] = 16.0, 12.0
+        scene.preset_intrinsics([K] * 3)
+        focals = np.asarray(scene.get_focals())
+        np.testing.assert_allclose(focals[:, 0], 42.0, rtol=1e-5)
+        np.testing.assert_allclose(focals[:, 1], 37.0, rtol=1e-5)
+        Kout = np.asarray(scene.get_intrinsics())
+        np.testing.assert_allclose(Kout[0, 0, 0], 42.0, rtol=1e-5)
+        np.testing.assert_allclose(Kout[0, 1, 1], 37.0, rtol=1e-5)
+        # optimization still runs with frozen intrinsics
+        loss = scene.compute_global_alignment(init="mst", niter=10, lr=0.01)
+        assert np.isfinite(loss)
