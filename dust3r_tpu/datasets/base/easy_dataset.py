@@ -1,8 +1,9 @@
 """Dataset algebra: `2 * ds`, `1000 @ ds`, `ds1 + ds2`.
 
-Behavioral contract: /root/reference/dust3r/datasets/base/easy_dataset.py
-(epoch-seeded shuffles with rotary extension, shared resolution pools).
-Pure numpy / host-side - this drives the CLI dataset DSL.
+Semantics per reference dust3r/datasets/base/easy_dataset.py (epoch-seeded
+shuffles with rotary extension, shared resolution pools), but organized
+around a single index-mapping wrapper: every combinator only has to say how
+a flat index routes to (child, child_index).
 """
 from __future__ import annotations
 
@@ -12,17 +13,19 @@ from .batched_sampler import BatchedRandomSampler
 
 
 class EasyDataset:
+    """Mixin giving datasets combinator operators and a sampler factory."""
+
     def __add__(self, other):
         return CatDataset([self, other])
 
     def __rmul__(self, factor):
         return MulDataset(factor, self)
 
-    def __rmatmul__(self, factor):
-        return ResizedDataset(factor, self)
+    def __rmatmul__(self, new_size):
+        return ResizedDataset(new_size, self)
 
     def set_epoch(self, epoch):
-        pass
+        pass  # stateless datasets have nothing to reseed
 
     def make_sampler(self, batch_size, shuffle=True, world_size=1, rank=0,
                      drop_last=True):
@@ -33,8 +36,28 @@ class EasyDataset:
             world_size=world_size, rank=rank, drop_last=drop_last)
 
 
-class MulDataset(EasyDataset):
-    """Duplicate each element `multiplicator` times."""
+class _IndexMapped(EasyDataset):
+    """Base for combinators that route a flat index into one child."""
+
+    def _route(self, idx):
+        """-> (child_dataset, child_index)"""
+        raise NotImplementedError
+
+    def __getitem__(self, idx):
+        ar = None
+        if isinstance(idx, tuple):
+            idx, ar = idx
+        child, cidx = self._route(int(idx))
+        return child[cidx if ar is None else (cidx, ar)]
+
+    @property
+    def _resolutions(self):
+        child, _ = self._route(0)
+        return child._resolutions
+
+
+class MulDataset(_IndexMapped):
+    """Each element repeated `multiplicator` times."""
 
     def __init__(self, multiplicator, dataset):
         assert isinstance(multiplicator, int) and multiplicator > 0
@@ -47,19 +70,13 @@ class MulDataset(EasyDataset):
     def __repr__(self):
         return f"{self.multiplicator}*{self.dataset!r}"
 
-    def __getitem__(self, idx):
-        if isinstance(idx, tuple):
-            idx, other = idx
-            return self.dataset[idx // self.multiplicator, other]
-        return self.dataset[idx // self.multiplicator]
-
-    @property
-    def _resolutions(self):
-        return self.dataset._resolutions
+    def _route(self, idx):
+        return self.dataset, idx // self.multiplicator
 
 
-class ResizedDataset(EasyDataset):
-    """Set dataset length to `new_size` via epoch-seeded random mapping."""
+class ResizedDataset(_IndexMapped):
+    """Length forced to `new_size`: epoch-seeded shuffle, repeated
+    ("rotary") until the target size is covered."""
 
     def __init__(self, new_size, dataset):
         assert isinstance(new_size, int) and new_size > 0
@@ -70,43 +87,37 @@ class ResizedDataset(EasyDataset):
         return self.new_size
 
     def __repr__(self):
-        size_str = str(self.new_size)
-        for i in range((len(size_str) - 1) // 3):
+        # underscore-group large sizes: 1_000_000 @ ...
+        size = str(self.new_size)
+        for i in range((len(size) - 1) // 3):
             sep = -4 * i - 3
-            size_str = size_str[:sep] + "_" + size_str[sep:]
-        return f"{size_str} @ {self.dataset!r}"
+            size = size[:sep] + "_" + size[sep:]
+        return f"{size} @ {self.dataset!r}"
 
     def set_epoch(self, epoch):
         rng = np.random.default_rng(seed=epoch + 777)
         perm = rng.permutation(len(self.dataset))
-        # rotary extension until target size is met
-        reps = 1 + (len(self) - 1) // len(self.dataset)
-        self._idxs_mapping = np.concatenate([perm] * reps)[:self.new_size]
+        reps = 1 + (self.new_size - 1) // len(self.dataset)
+        self._mapping = np.tile(perm, reps)[:self.new_size]
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
-    def __getitem__(self, idx):
-        assert hasattr(self, "_idxs_mapping"), \
-            "call dataset.set_epoch() before indexing a ResizedDataset"
-        if isinstance(idx, tuple):
-            idx, other = idx
-            return self.dataset[self._idxs_mapping[idx], other]
-        return self.dataset[self._idxs_mapping[idx]]
-
-    @property
-    def _resolutions(self):
-        return self.dataset._resolutions
+    def _route(self, idx):
+        assert hasattr(self, "_mapping"), \
+            "call set_epoch() before indexing a ResizedDataset"
+        return self.dataset, int(self._mapping[idx])
 
 
-class CatDataset(EasyDataset):
-    """Concatenation of datasets (with identical resolution pools)."""
+class CatDataset(_IndexMapped):
+    """Concatenation (resolution pools must agree)."""
 
     def __init__(self, datasets):
-        for dataset in datasets:
-            assert isinstance(dataset, EasyDataset)
-        self.datasets = datasets
-        self._cum_sizes = np.cumsum([len(d) for d in datasets])
+        assert all(isinstance(d, EasyDataset) for d in datasets)
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in datasets])
 
     def __len__(self):
-        return int(self._cum_sizes[-1])
+        return int(self._offsets[-1])
 
     def __repr__(self):
         return " + ".join(repr(d) for d in self.datasets)
@@ -115,22 +126,15 @@ class CatDataset(EasyDataset):
         for d in self.datasets:
             d.set_epoch(epoch)
 
-    def __getitem__(self, idx):
-        other = None
-        if isinstance(idx, tuple):
-            idx, other = idx
-        if not (0 <= idx < len(self)):
-            raise IndexError()
-        db_idx = int(np.searchsorted(self._cum_sizes, idx, "right"))
-        dataset = self.datasets[db_idx]
-        new_idx = idx - (self._cum_sizes[db_idx - 1] if db_idx > 0 else 0)
-        if other is not None:
-            return dataset[new_idx, other]
-        return dataset[new_idx]
+    def _route(self, idx):
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        k = int(np.searchsorted(self._offsets, idx, "right")) - 1
+        return self.datasets[k], idx - int(self._offsets[k])
 
     @property
     def _resolutions(self):
         res = self.datasets[0]._resolutions
-        for d in self.datasets[1:]:
-            assert tuple(d._resolutions) == tuple(res)
+        assert all(tuple(d._resolutions) == tuple(res)
+                   for d in self.datasets[1:])
         return res
