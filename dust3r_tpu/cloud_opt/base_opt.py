@@ -62,8 +62,12 @@ class BasePCOptimizer:
                  rand_pose=None,
                  seed=0,
                  verbose=True,
+                 obs_dtype=jnp.float32,
                  **_ignored):
         self.verbose = verbose
+        # observation storage dtype: bf16 halves the HBM traffic of the
+        # (memory-bound) alignment loop; distances are computed in fp32
+        self.obs_dtype = obs_dtype
         self.min_conf_thr = min_conf_thr
         self.base_scale = base_scale
         self.pw_break = pw_break
@@ -107,14 +111,17 @@ class BasePCOptimizer:
         # bake hundreds of MB of constants into the XLA program)
         w_i = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_i]
         w_j = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_j]
+        odt = self.obs_dtype
         self.consts = {
             "stacked_pred_i": jnp.asarray(
-                np.stack([_ravel_pad(p, A) for p in pred_i])),
+                np.stack([_ravel_pad(p, A) for p in pred_i]), odt),
             "stacked_pred_j": jnp.asarray(
-                np.stack([_ravel_pad(p, A) for p in pred_j])),
+                np.stack([_ravel_pad(p, A) for p in pred_j]), odt),
             # pre-transformed conf weights; padding has weight exactly 0
-            "weight_i": jnp.asarray(np.stack([_ravel_pad(w, A) for w in w_i])),
-            "weight_j": jnp.asarray(np.stack([_ravel_pad(w, A) for w in w_j])),
+            "weight_i": jnp.asarray(
+                np.stack([_ravel_pad(w, A) for w in w_i]), odt),
+            "weight_j": jnp.asarray(
+                np.stack([_ravel_pad(w, A) for w in w_j]), odt),
             "ei": jnp.asarray([i for i, j in self.edges]),
             "ej": jnp.asarray([j for i, j in self.edges]),
         }
@@ -295,13 +302,16 @@ class BasePCOptimizer:
         pw_adapt = self.get_adaptors(params)[:, None, :]  # (E,1,3)
         proj_pts3d = self.depth_to_pts3d(params, consts=c)  # (N, A, 3)
 
-        aligned_pred_i = geotrf(pw_poses, pw_adapt * c["stacked_pred_i"])
-        aligned_pred_j = geotrf(pw_poses, pw_adapt * c["stacked_pred_j"])
+        f32 = jnp.float32
+        aligned_pred_i = geotrf(
+            pw_poses, pw_adapt * c["stacked_pred_i"].astype(f32))
+        aligned_pred_j = geotrf(
+            pw_poses, pw_adapt * c["stacked_pred_j"].astype(f32))
 
         li = jnp.sum(self.dist(proj_pts3d[c["ei"]], aligned_pred_i,
-                               c["weight_i"])) / self.total_area_i
+                               c["weight_i"].astype(f32))) / self.total_area_i
         lj = jnp.sum(self.dist(proj_pts3d[c["ej"]], aligned_pred_j,
-                               c["weight_j"])) / self.total_area_j
+                               c["weight_j"].astype(f32))) / self.total_area_j
         return li + lj
 
     def forward(self):

@@ -207,3 +207,22 @@ class TestModularFxFy:
         # optimization still runs with frozen intrinsics
         loss = scene.compute_global_alignment(init="mst", niter=10, lr=0.01)
         assert np.isfinite(loss)
+
+
+class TestBf16Observations:
+    def test_recovery_with_bf16_obs(self):
+        """obs_dtype=bf16 halves aligner HBM traffic; recovery quality must
+        stay within the same tolerances."""
+        import jax.numpy as jnp
+        out, poses, depths, focal = make_synthetic_scene()
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False, obs_dtype=jnp.bfloat16)
+        loss = scene.compute_global_alignment(init="mst", niter=150,
+                                              schedule="cosine", lr=0.01)
+        assert np.isfinite(loss)
+        focals = np.asarray(scene.get_focals()).reshape(-1)
+        np.testing.assert_allclose(focals, focal, rtol=0.05)
+        est = np.asarray(scene.get_im_poses())
+        gt_rel = relpose(poses[0], poses[1])
+        est_rel = relpose(est[0], est[1])
+        assert angular_error_deg(gt_rel[:3, :3], est_rel[:3, :3]) < 3.0
