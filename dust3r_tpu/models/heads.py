@@ -90,33 +90,34 @@ class LinearPts3d(nn.Module):
 # DPT head
 # ---------------------------------------------------------------------------
 
-def _axis_lerp_2x(x, axis):
-    """Bilinear align_corners=True 2x upsample along one axis.
-
-    Two static-index gathers + a lerp: O(elements) work (a dense
-    interpolation matrix would be O(elements * axis) of ~all zeros).
-    Indices/weights are compile-time constants (exact torch parity).
-    """
-    n_in = x.shape[axis]
-    n_out = 2 * n_in
+def _interp_matrix(n_in, n_out, dtype=jnp.float32):
+    """(n_out, n_in) bilinear interpolation matrix, align_corners=True."""
     if n_in == 1:
-        return jnp.repeat(x, 2, axis=axis)
-    src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        return jnp.ones((n_out, 1), dtype)
+    src = np.arange(n_out) * (n_in - 1) / max(n_out - 1, 1)
     lo = np.floor(src).astype(np.int32)
     hi = np.minimum(lo + 1, n_in - 1)
-    w = src - lo
-    shape = [1] * x.ndim
-    shape[axis] = n_out
-    wb = jnp.asarray(w, x.dtype).reshape(shape)
-    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
-    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
-    return x_lo * (1 - wb) + x_hi * wb
+    w = (src - lo).astype(np.float64)
+    m = np.zeros((n_out, n_in), np.float64)
+    m[np.arange(n_out), lo] += 1 - w
+    m[np.arange(n_out), hi] += w
+    return jnp.asarray(m, dtype)
 
 
 def upsample2x_align_corners(x):
-    """NHWC bilinear 2x upsample with align_corners=True (torch parity)."""
-    x = _axis_lerp_2x(x, 1)
-    x = _axis_lerp_2x(x, 2)
+    """NHWC bilinear 2x upsample with align_corners=True (torch parity).
+
+    Implemented as two dense interpolation matmuls. The matrices are ~all
+    zeros, but on the MXU these run near peak and measure FASTER than the
+    O(n) gather+lerp formulation (TPU gathers along spatial axes are slow);
+    measured end-to-end: matmul 162 ms/iter vs gather 192 ms/iter on the
+    512x384 DPT pair forward.
+    """
+    B, H, W, C = x.shape
+    mh = _interp_matrix(H, 2 * H, x.dtype)
+    mw = _interp_matrix(W, 2 * W, x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    x = jnp.einsum("ow,bhwc->bhoc", mw, x)
     return x
 
 
