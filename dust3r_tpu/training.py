@@ -146,14 +146,10 @@ def build_train_step(model, criterion, spec: TrainSpec, mesh=None):
         metrics = dict(loss=loss, lr=lr, grad_norm=grad_norm, **details)
         return new_state, metrics
 
-    if mesh is None:
-        return jax.jit(step_fn)
-
-    def mesh_step(state, batch, epoch_f):
-        return step_fn(state, batch, epoch_f)
-
-    # shard: params/opt-state per fsdp rules, batch over data axis
-    return jax.jit(mesh_step)
+    # donate the input state: params + Adam moments of the 0.6B model are
+    # ~7GB fp32; donation lets XLA update them in place instead of
+    # double-buffering. Sharded inputs keep their placement automatically.
+    return jax.jit(step_fn, donate_argnums=(0,))
 
 
 def check_finite_or_die(loss_value):

@@ -152,14 +152,17 @@ class TestTrainStep:
         params = model.init(jax.random.PRNGKey(0), v1["img"][:1], v2["img"][:1])
         criterion = ConfLoss(Regr3D(L21), alpha=0.2)
 
+        # NOTE the step donates its input state (in-place update), so the
+        # second run needs its own copy of the parameters, made BEFORE the
+        # first step consumes them.
+        params2 = jax.tree.map(jnp.array, params)
+
         spec1 = TrainSpec(lr=1e-3, warmup_epochs=0, epochs=1, accum_iter=1)
         state1 = init_train_state(params, spec1)
         step1 = build_train_step(model, criterion, spec1)
         state1, m1 = step1(state1, (v1, v2), jnp.asarray(0.5))
-
-        # micro-batched: (accum, B/2, ...) leading dims
         spec2 = TrainSpec(lr=1e-3, warmup_epochs=0, epochs=1, accum_iter=2)
-        state2 = init_train_state(params, spec2)
+        state2 = init_train_state(params2, spec2)
         step2 = build_train_step(model, criterion, spec2)
         split = jax.tree.map(lambda x: x.reshape((2, 2) + x.shape[1:]), (v1, v2))
         state2, m2 = step2(state2, split, jnp.asarray(0.5))
