@@ -81,9 +81,9 @@ class InferenceEngine:
 
         by_shape = defaultdict(list)
         for key, v in unique.items():
-            img = np.asarray(v["img"])
+            img = v["img"]
             assert img.ndim == 4 and img.shape[0] == 1, "views hold (1,H,W,3)"
-            by_shape[img.shape[1:3]].append(key)
+            by_shape[tuple(img.shape[1:3])].append(key)
 
         slots = {}
         stacked = {}
@@ -91,10 +91,16 @@ class InferenceEngine:
             chunks_f, chunks_p = [], []
             for i in range(0, len(keys), self.batch_size):
                 chunk = keys[i:i + self.batch_size]
-                imgs = _pad_batch(
-                    [np.asarray(unique[k]["img"])[0] for k in chunk],
-                    self.batch_size)
-                f, pos = self._encode(self.params, jnp.asarray(imgs))
+                arrs = [unique[k]["img"] for k in chunk]
+                if any(isinstance(a, np.ndarray) for a in arrs):
+                    imgs = jnp.asarray(_pad_batch(
+                        [np.asarray(a)[0] for a in arrs], self.batch_size))
+                else:
+                    # images already on device: stack/pad there (no host
+                    # round-trip)
+                    imgs = jnp.concatenate(arrs + [arrs[-1]] *
+                                           (self.batch_size - len(arrs)))
+                f, pos = self._encode(self.params, imgs)
                 chunks_f.append(f[:len(chunk)])
                 chunks_p.append(pos[:len(chunk)])
                 for n, k in enumerate(chunk):
@@ -116,8 +122,8 @@ class InferenceEngine:
         # group pair indices by (shape1, shape2)
         by_bucket = defaultdict(list)
         for n, (v1, v2) in enumerate(pairs):
-            s1 = tuple(np.asarray(v1["img"]).shape[1:3])
-            s2 = tuple(np.asarray(v2["img"]).shape[1:3])
+            s1 = tuple(v1["img"].shape[1:3])
+            s2 = tuple(v2["img"].shape[1:3])
             by_bucket[(s1, s2)].append(n)
 
         # per bucket: batched decode+head, results concatenated ONCE on
@@ -160,8 +166,10 @@ class InferenceEngine:
                 # uniform shapes: bucket order == pair order, hand the
                 # stacked arrays straight to the output (zero re-slicing)
                 return dict(
-                    view1=_collate_views([p[0] for p in pairs], False),
-                    view2=_collate_views([p[1] for p in pairs], False),
+                    view1=_collate_views([p[0] for p in pairs], False,
+                                         numpy=to_cpu),
+                    view2=_collate_views([p[1] for p in pairs], False,
+                                         numpy=to_cpu),
                     pred1=bucket1, pred2=bucket2)
 
             for m, n in enumerate(idxs):
@@ -172,14 +180,19 @@ class InferenceEngine:
                                         numpy=to_cpu)
 
 
-def _collate_views(views, multiple_shapes):
+def _collate_views(views, multiple_shapes, numpy=True):
     out = {}
     keys = views[0].keys()
     for k in keys:
         vals = [v[k] for v in views]
         if k == "img":
-            vals = [np.asarray(v)[0] for v in vals]
-            out[k] = vals if multiple_shapes else np.stack(vals)
+            if not numpy:
+                # keep device arrays (display conversion happens lazily in
+                # the aligner, once) - avoids a device->host copy per call
+                out[k] = [v[0] for v in vals]
+            else:
+                vals = [np.asarray(v)[0] for v in vals]
+                out[k] = vals if multiple_shapes else np.stack(vals)
         elif k == "true_shape":
             out[k] = np.concatenate([np.asarray(v) for v in vals])
         else:
