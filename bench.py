@@ -100,25 +100,30 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300):
             pts3d_in_other_view=rng.uniform(-2, 2, (E, H, W, 3)).astype(np.float32),
             conf=1 + rng.uniform(1, 5, (E, H, W)).astype(np.float32)),
     )
-    scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
-                           verbose=False)
     lrs = make_lr_schedule("cosine", niter, 0.01, 1e-6)
-    # compile
-    t0 = time.perf_counter()
-    params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
-                                    dict(scene.masks), lrs,
-                                    dict(scene.consts))
-    _ = float(losses[-1])
-    log(f"aligner compile+first {niter} iters: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
-                                    dict(scene.masks), lrs,
-                                    dict(scene.consts))
-    _ = float(losses[-1])
-    dt = time.perf_counter() - t0
-    iters_per_sec = niter / dt
-    log(f"aligner: {n_imgs} imgs, {E} edges @ {H}x{W}: "
-        f"{iters_per_sec:.1f} iters/s ({dt:.2f}s for {niter})")
+    iters_per_sec = None
+    for obs_dtype, tag in [(jnp.float32, "fp32-obs"),
+                           (jnp.bfloat16, "bf16-obs")]:
+        scene = global_aligner(out,
+                               mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False, obs_dtype=obs_dtype)
+        t0 = time.perf_counter()
+        params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
+                                        dict(scene.masks), lrs,
+                                        dict(scene.consts))
+        _ = float(losses[-1])
+        log(f"aligner[{tag}] compile+first {niter} iters: "
+            f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
+                                        dict(scene.masks), lrs,
+                                        dict(scene.consts))
+        _ = float(losses[-1])
+        dt = time.perf_counter() - t0
+        log(f"aligner[{tag}]: {n_imgs} imgs, {E} edges @ {H}x{W}: "
+            f"{niter / dt:.1f} iters/s ({dt:.2f}s for {niter})")
+        if iters_per_sec is None:
+            iters_per_sec = niter / dt
     return iters_per_sec
 
 
