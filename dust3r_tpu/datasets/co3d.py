@@ -75,7 +75,7 @@ class Co3d(BaseStereoViewDataset):
         depthmap = imread_cv2(depthpath, cv2.IMREAD_UNCHANGED)
         depthmap = (depthmap.astype(np.float32) / 65535
                     * np.nan_to_num(input_metadata["maximum_depth"]))
-        return depthmap
+        return depthmap.astype(np.float32)
 
     def _get_views(self, idx, resolution, rng):
         import cv2
