@@ -113,6 +113,21 @@ def model_from_arch_string(arch, landscape_only=False, **overrides):
 # torch state-dict conversion
 # ---------------------------------------------------------------------- #
 
+class _TrackedDict(dict):
+    """dict recording which keys were read (to report leftovers)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._used = set()
+
+    def __getitem__(self, k):
+        self._used.add(k)
+        return super().__getitem__(k)
+
+    def unused(self):
+        return sorted(set(self.keys()) - self._used)
+
+
 def _set(tree, path, value):
     node = tree
     for k in path[:-1]:
@@ -199,9 +214,13 @@ def _dpt_head(sd, tree, t, f):
 
 
 def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
-                             head_type="linear"):
-    """torch state dict (tensor name -> numpy array) -> flax variables."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+                             head_type="linear", verbose=False):
+    """torch state dict (tensor name -> numpy array) -> flax variables.
+
+    Unconsumed tensors (e.g. mask_token, rope buffers) are reported when
+    verbose - useful to audit real published checkpoints.
+    """
+    sd = _TrackedDict({k: np.asarray(v) for k, v in sd.items()})
 
     # duplicate single decoder into dec_blocks2 (reference model.py:91-98)
     if not any(k.startswith("dec_blocks2") for k in sd):
@@ -228,6 +247,13 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
         else:
             _dpt_head(sd, tree, t, f)
 
+    if verbose:
+        leftovers = [k for k in sd.unused() if not k.endswith("num_batches_tracked")]
+        if leftovers:
+            print(f"converter: {len(leftovers)} unused checkpoint tensors "
+                  f"(expected for mask_token/rope buffers): {leftovers[:10]}"
+                  + (" ..." if len(leftovers) > 10 else ""))
+
     params = jax.tree.map(jnp.asarray, tree)
     return {"params": params}
 
@@ -250,7 +276,7 @@ def load_torch_checkpoint(path, verbose=True, **overrides):
     sd = {k: v.numpy() for k, v in ckpt["model"].items()}
     variables = convert_torch_state_dict(
         sd, enc_depth=model.enc_depth, dec_depth=model.dec_depth,
-        head_type=model.head_type)
+        head_type=model.head_type, verbose=verbose)
     return model, variables
 
 
