@@ -169,7 +169,16 @@ def view_name(view, batch_index=None):
 def transpose_to_landscape(view):
     """Store portrait views transposed so batches are shape-uniform.
 
-    NHWC layout: img is (H, W, 3)."""
+    NHWC layout: img is (H, W, 3).
+
+    NOTE (training-semantics divergence): the reference un-transposes these
+    samples inside the model (ManyAR patch embed + per-sample head split,
+    dust3r/patch_embed.py:32-70), training them at true orientation; the
+    TPU build keeps static batch shapes and trains such samples at storage
+    orientation instead (a transpose augmentation). This only affects the
+    near-square coin-flip samples and genuinely-portrait crops of
+    non-square buckets; inference is unaffected (true-orientation buckets).
+    """
     height, width = view["true_shape"]
     if width < height:
         view["img"] = view["img"].swapaxes(0, 1)
