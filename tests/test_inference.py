@@ -169,3 +169,33 @@ class TestImageUtils:
         img.save(p)
         views = load_images([str(p)], size=512, verbose=False)
         assert views[0]["img"].shape == (1, 384, 512, 3)
+
+
+class TestPrefilters:
+    def test_cyc_prefilter(self):
+        views = make_views(6)
+        pairs = make_pairs(views, "complete", prefilter="cyc1",
+                           symmetrize=True)
+        # cyclic distance 1: (0,5) is kept, (0,2) dropped
+        idx_pairs = {(a["idx"], b["idx"]) for a, b in pairs}
+        assert (5, 0) in idx_pairs or (0, 5) in idx_pairs
+        assert not any({i, j} == {0, 2} for i, j in idx_pairs)
+
+    def test_seq_prefilter(self):
+        views = make_views(6)
+        pairs = make_pairs(views, "complete", prefilter="seq2",
+                           symmetrize=False)
+        assert all(abs(a["idx"] - b["idx"]) <= 2 for a, b in pairs)
+
+    def test_filter_edges_seq_on_output(self):
+        """Post-hoc edge filtering of a collated inference output."""
+        from dust3r_tpu.image_pairs import filter_edges_seq
+        import numpy as np
+        view1 = dict(idx=[0, 0, 3, 5], x=np.arange(4))
+        view2 = dict(idx=[1, 3, 4, 0], x=np.arange(4) * 10)
+        pred1 = dict(pts3d=np.arange(4)[:, None])
+        pred2 = dict(conf=np.arange(4)[:, None])
+        v1, v2, p1, p2 = filter_edges_seq(view1, view2, pred1, pred2,
+                                          seq_dis_thr=1, verbose=False)
+        assert v1["idx"] == [0, 3]  # edges (0,1) and (3,4) kept
+        assert p1["pts3d"].shape == (2, 1)
