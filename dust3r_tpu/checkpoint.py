@@ -258,6 +258,41 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
     return {"params": params}
 
 
+def stack_scan_params(variables, enc_depth, dec_depth):
+    """Per-layer param tree -> scan_layers=True layout.
+
+    enc_blocks_{i} stack into enc_blocks_scan/block (leading depth axis);
+    dec_blocks_{i}/dec_blocks2_{i} into dec_blocks_scan/block1|block2.
+    """
+    params = dict(variables["params"])
+
+    def stack(prefix, n):
+        layers = [params.pop(f"{prefix}_{i}") for i in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    enc = stack("enc_blocks", enc_depth)
+    dec1 = stack("dec_blocks", dec_depth)
+    dec2 = stack("dec_blocks2", dec_depth)
+    params["enc_blocks_scan"] = {"block": enc}
+    params["dec_blocks_scan"] = {"block1": dec1, "block2": dec2}
+    return {"params": params}
+
+
+def unstack_scan_params(variables, enc_depth, dec_depth):
+    """Inverse of stack_scan_params (scan layout -> per-layer tree)."""
+    params = dict(variables["params"])
+    enc = params.pop("enc_blocks_scan")["block"]
+    dec = params.pop("dec_blocks_scan")
+    for i in range(enc_depth):
+        params[f"enc_blocks_{i}"] = jax.tree.map(lambda x, i=i: x[i], enc)
+    for i in range(dec_depth):
+        params[f"dec_blocks_{i}"] = jax.tree.map(lambda x, i=i: x[i],
+                                                 dec["block1"])
+        params[f"dec_blocks2_{i}"] = jax.tree.map(lambda x, i=i: x[i],
+                                                  dec["block2"])
+    return {"params": params}
+
+
 def load_torch_checkpoint(path, verbose=True, **overrides):
     """Load a reference .pth checkpoint -> (model, variables).
 

@@ -29,6 +29,43 @@ from .heads import head_factory
 inf = math.inf
 
 
+class _EncScanBody(nn.Module):
+    """Scan body wrapping one encoder Block; carry = (x, pos)."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    rope_base: Optional[float]
+    dtype: jnp.dtype
+    attn_impl: Optional[str]
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, pos = carry
+        x = Block(self.dim, self.num_heads, self.mlp_ratio, self.rope_base,
+                  self.dtype, self.attn_impl, name="block")(x, pos)
+        return (x, pos), None
+
+
+class _DecScanBody(nn.Module):
+    """Scan body wrapping one decoder layer pair (blk1, blk2);
+    carry = (x1, x2, pos1, pos2); outputs per-layer (x1, x2) for hooks."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    rope_base: Optional[float]
+    dtype: jnp.dtype
+    attn_impl: Optional[str]
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x1, x2, pos1, pos2 = carry
+        args = (self.dim, self.num_heads, self.mlp_ratio, self.rope_base,
+                self.dtype, self.attn_impl)
+        nx1, _ = DecoderBlock(*args, name="block1")(x1, x2, pos1, pos2)
+        nx2, _ = DecoderBlock(*args, name="block2")(x2, x1, pos2, pos1)
+        return (nx1, nx2, pos1, pos2), (nx1, nx2)
+
+
 class AsymmetricCroCo3DStereo(nn.Module):
     # published config (README.md:318): ViT-L encoder / ViT-B decoder
     img_size: Tuple[int, int] = (224, 224)
@@ -50,6 +87,9 @@ class AsymmetricCroCo3DStereo(nn.Module):
     head_dtype: jnp.dtype = jnp.float32  # reference runs heads fp32; bf16
     # trades a small (<1e-2 RMSE) accuracy delta for ~3x faster DPT convs
     attn_impl: Optional[str] = None  # None=auto, 'ref', 'pallas'
+    scan_layers: bool = False  # lax.scan over layers: one traced block per
+    # stack instead of depth copies (much faster XLA compiles; parameters
+    # are stacked (depth, ...) - see checkpoint.stack_scan_params)
 
     @property
     def rope_base(self) -> Optional[float]:
@@ -60,23 +100,32 @@ class AsymmetricCroCo3DStereo(nn.Module):
     def setup(self):
         self.patch_embed = PatchEmbed(self.patch_size, self.enc_embed_dim,
                                       self.dtype, name="patch_embed")
-        self.enc_blocks = [
-            Block(self.enc_embed_dim, self.enc_num_heads, self.mlp_ratio,
-                  self.rope_base, self.dtype, self.attn_impl, name=f"enc_blocks_{i}")
-            for i in range(self.enc_depth)]
+        enc_args = (self.enc_embed_dim, self.enc_num_heads, self.mlp_ratio,
+                    self.rope_base, self.dtype, self.attn_impl)
+        dec_args = (self.dec_embed_dim, self.dec_num_heads, self.mlp_ratio,
+                    self.rope_base, self.dtype, self.attn_impl)
+        if self.scan_layers:
+            self.enc_scan = nn.scan(
+                _EncScanBody, variable_axes={"params": 0},
+                split_rngs={"params": True}, length=self.enc_depth,
+            )(*enc_args, name="enc_blocks_scan")
+            self.dec_scan = nn.scan(
+                _DecScanBody, variable_axes={"params": 0},
+                split_rngs={"params": True}, length=self.dec_depth,
+            )(*dec_args, name="dec_blocks_scan")
+        else:
+            self.enc_blocks = [
+                Block(*enc_args, name=f"enc_blocks_{i}")
+                for i in range(self.enc_depth)]
+            self.dec_blocks = [
+                DecoderBlock(*dec_args, name=f"dec_blocks_{i}")
+                for i in range(self.dec_depth)]
+            self.dec_blocks2 = [
+                DecoderBlock(*dec_args, name=f"dec_blocks2_{i}")
+                for i in range(self.dec_depth)]
         self.enc_norm = LayerNormF32(name="enc_norm")
         self.decoder_embed = nn.Dense(self.dec_embed_dim, dtype=self.dtype,
                                       name="decoder_embed")
-        self.dec_blocks = [
-            DecoderBlock(self.dec_embed_dim, self.dec_num_heads, self.mlp_ratio,
-                         self.rope_base, self.dtype, self.attn_impl,
-                         name=f"dec_blocks_{i}")
-            for i in range(self.dec_depth)]
-        self.dec_blocks2 = [
-            DecoderBlock(self.dec_embed_dim, self.dec_num_heads, self.mlp_ratio,
-                         self.rope_base, self.dtype, self.attn_impl,
-                         name=f"dec_blocks2_{i}")
-            for i in range(self.dec_depth)]
         self.dec_norm = LayerNormF32(name="dec_norm")
         has_conf = bool(self.conf_mode)
         self.downstream_head1 = head_factory(
@@ -97,8 +146,11 @@ class AsymmetricCroCo3DStereo(nn.Module):
     def encode(self, img):
         """img: (B, H, W, 3) normalized, true orientation. -> (tokens, pos)."""
         x, pos = self.patch_embed(img.astype(self.dtype))
-        for blk in self.enc_blocks:
-            x = blk(x, pos)
+        if self.scan_layers:
+            (x, _), _ = self.enc_scan((x, pos), None)
+        else:
+            for blk in self.enc_blocks:
+                x = blk(x, pos)
         return self.enc_norm(x), pos
 
     def decode(self, f1, pos1, f2, pos2):
@@ -112,12 +164,18 @@ class AsymmetricCroCo3DStereo(nn.Module):
         out2 = [f2]
         x1 = self.decoder_embed(f1)
         x2 = self.decoder_embed(f2)
-        for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
-            nx1, _ = blk1(x1, x2, pos1, pos2)
-            nx2, _ = blk2(x2, x1, pos2, pos1)
-            x1, x2 = nx1, nx2
-            out1.append(x1)
-            out2.append(x2)
+        if self.scan_layers:
+            (x1, x2, _, _), (ys1, ys2) = self.dec_scan(
+                (x1, x2, pos1, pos2), None)
+            out1 += [ys1[i] for i in range(self.dec_depth)]
+            out2 += [ys2[i] for i in range(self.dec_depth)]
+        else:
+            for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
+                nx1, _ = blk1(x1, x2, pos1, pos2)
+                nx2, _ = blk2(x2, x1, pos2, pos1)
+                x1, x2 = nx1, nx2
+                out1.append(x1)
+                out2.append(x2)
         out1[-1] = self.dec_norm(out1[-1])
         out2[-1] = self.dec_norm(out2[-1])
         return out1, out2
