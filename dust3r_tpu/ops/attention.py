@@ -45,18 +45,93 @@ def _use_pallas_default():
         return False
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _attention_pallas_diff(q, k, v, positions_q, positions_k, rope_base):
+    """Differentiable wrapper: Pallas kernel forward, XLA backward.
+
+    pallas_call has no automatic VJP; the backward pass recomputes the
+    (rope'd) attention weights with plain XLA math (flash-style
+    rematerialization - nothing big is saved from the forward).
+    """
+    from .pallas_attention import fused_attention
+
+    return fused_attention(q, k, v, positions_q, positions_k, rope_base)
+
+
+def _attention_pallas_fwd(q, k, v, positions_q, positions_k, rope_base):
+    out = _attention_pallas_diff(q, k, v, positions_q, positions_k, rope_base)
+    return out, (q, k, v, positions_q, positions_k)
+
+
+def _attention_pallas_bwd(rope_base, res, g):
+    q, k, v, positions_q, positions_k = res
+    # recompute rope'd q/k and the softmax in fp32
+    qr = apply_rope2d(q, positions_q, rope_base) if positions_q is not None \
+        else q
+    kr = apply_rope2d(k, positions_k, rope_base) if positions_k is not None \
+        else k
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", qr, kr,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dqr = jnp.einsum("bhqk,bhkd->bhqd", ds, kr.astype(jnp.float32),
+                     preferred_element_type=jnp.float32) * scale
+    dkr = jnp.einsum("bhqk,bhqd->bhkd", ds, qr.astype(jnp.float32),
+                     preferred_element_type=jnp.float32) * scale
+
+    # rope adjoint = inverse rotation (cos, -sin)
+    def rope_inv(t, pos):
+        if pos is None:
+            return t
+        return _apply_rope2d_inverse(t, pos, rope_base)
+
+    dq = rope_inv(dqr, positions_q).astype(q.dtype)
+    dk = rope_inv(dkr, positions_k).astype(k.dtype)
+    return dq, dk, dv.astype(v.dtype), None, None
+
+
+def _apply_rope2d_inverse(tokens, positions, base):
+    """Adjoint/inverse of apply_rope2d (rotation by -angle)."""
+    from .rope import rope_cos_sin, _rotate_half
+
+    head_dim = tokens.shape[-1]
+    d = head_dim // 2
+    y_tok, x_tok = tokens[..., :d], tokens[..., d:]
+
+    def inv1d(t, pos1d):
+        cos, sin = rope_cos_sin(pos1d, d, base, t.dtype)
+        cos = cos[:, None, :, :]
+        sin = sin[:, None, :, :]
+        return t * cos - _rotate_half(t) * sin
+
+    y_tok = inv1d(y_tok, positions[..., 0])
+    x_tok = inv1d(x_tok, positions[..., 1])
+    return jnp.concatenate([y_tok, x_tok], axis=-1)
+
+
+_attention_pallas_diff.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
+
+
 def attention(q, k, v, positions_q=None, positions_k=None, rope_base=100.0,
               impl=None):
     """Dispatching attention entry point used by the model blocks.
 
-    impl: None (auto: pallas on TPU), 'ref', or 'pallas'.
+    impl: None (auto: pallas on TPU), 'ref', or 'pallas'. The pallas path
+    is differentiable via a custom VJP (XLA recompute backward).
     """
     if impl is None:
         impl = "pallas" if _use_pallas_default() else "ref"
     if impl == "pallas":
-        from .pallas_attention import fused_attention
         try:
-            return fused_attention(q, k, v, positions_q, positions_k, rope_base)
+            return _attention_pallas_diff(q, k, v, positions_q, positions_k,
+                                          rope_base)
         except Exception:
             # fall back if the kernel can't serve this shape/platform
             return attention_ref(q, k, v, positions_q, positions_k, rope_base)
