@@ -90,6 +90,9 @@ class AsymmetricCroCo3DStereo(nn.Module):
     scan_layers: bool = False  # lax.scan over layers: one traced block per
     # stack instead of depth copies (much faster XLA compiles; parameters
     # are stacked (depth, ...) - see checkpoint.stack_scan_params)
+    remat: bool = False  # rematerialize block activations in the backward
+    # pass (jax.checkpoint): trades ~30% more FLOPs for O(depth) less
+    # activation memory - needed for large-batch training on 16GB HBM
 
     @property
     def rope_base(self) -> Optional[float]:
@@ -105,23 +108,27 @@ class AsymmetricCroCo3DStereo(nn.Module):
         dec_args = (self.dec_embed_dim, self.dec_num_heads, self.mlp_ratio,
                     self.rope_base, self.dtype, self.attn_impl)
         if self.scan_layers:
+            enc_body = nn.remat(_EncScanBody) if self.remat else _EncScanBody
+            dec_body = nn.remat(_DecScanBody) if self.remat else _DecScanBody
             self.enc_scan = nn.scan(
-                _EncScanBody, variable_axes={"params": 0},
+                enc_body, variable_axes={"params": 0},
                 split_rngs={"params": True}, length=self.enc_depth,
             )(*enc_args, name="enc_blocks_scan")
             self.dec_scan = nn.scan(
-                _DecScanBody, variable_axes={"params": 0},
+                dec_body, variable_axes={"params": 0},
                 split_rngs={"params": True}, length=self.dec_depth,
             )(*dec_args, name="dec_blocks_scan")
         else:
+            BlockCls = nn.remat(Block) if self.remat else Block
+            DecCls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
             self.enc_blocks = [
-                Block(*enc_args, name=f"enc_blocks_{i}")
+                BlockCls(*enc_args, name=f"enc_blocks_{i}")
                 for i in range(self.enc_depth)]
             self.dec_blocks = [
-                DecoderBlock(*dec_args, name=f"dec_blocks_{i}")
+                DecCls(*dec_args, name=f"dec_blocks_{i}")
                 for i in range(self.dec_depth)]
             self.dec_blocks2 = [
-                DecoderBlock(*dec_args, name=f"dec_blocks2_{i}")
+                DecCls(*dec_args, name=f"dec_blocks2_{i}")
                 for i in range(self.dec_depth)]
         self.enc_norm = LayerNormF32(name="enc_norm")
         self.decoder_embed = nn.Dense(self.dec_embed_dim, dtype=self.dtype,

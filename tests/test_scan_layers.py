@@ -44,6 +44,54 @@ def test_scan_matches_loop():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _assert_grads_close(got, want, tol=1e-4):
+    """Per-leaf scale-aware comparison: elementwise-relative tolerance is
+    meaningless for near-zero entries of a chaotic deep-net gradient, so
+    compare against each leaf's own magnitude."""
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.max(np.abs(b))), 1e-8)
+        assert float(np.max(np.abs(a - b))) <= tol * scale
+
+
+def test_remat_matches_plain():
+    """remat=True must be numerically identical (forward AND grad) - it only
+    changes what's saved for the backward pass."""
+    plain = AsymmetricCroCo3DStereo(**TINY)
+    remat = AsymmetricCroCo3DStereo(remat=True, **TINY)
+    img1 = jax.random.normal(jax.random.PRNGKey(6), (1, 32, 32, 3))
+    img2 = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 32, 3))
+    params = plain.init(jax.random.PRNGKey(8), img1, img2)
+
+    def loss(m):
+        def f(p):
+            r1, r2 = m.apply(p, img1, img2)
+            return jnp.sum(r1["pts3d"] ** 2) + jnp.sum(
+                r2["pts3d_in_other_view"] ** 2)
+        return f
+
+    l_p, g_p = jax.value_and_grad(loss(plain))(params)
+    l_r, g_r = jax.value_and_grad(loss(remat))(params)
+    np.testing.assert_allclose(float(l_r), float(l_p), rtol=1e-6)
+    _assert_grads_close(g_r, g_p)
+
+
+def test_remat_scan_combo():
+    """remat composes with scan_layers (the large-batch training config)."""
+    plain = AsymmetricCroCo3DStereo(scan_layers=True, **TINY)
+    remat = AsymmetricCroCo3DStereo(scan_layers=True, remat=True, **TINY)
+    img = jax.random.normal(jax.random.PRNGKey(9), (1, 32, 32, 3))
+    params = plain.init(jax.random.PRNGKey(10), img, img)
+
+    def loss(m, p):
+        r1, _ = m.apply(p, img, img)
+        return jnp.sum(r1["conf"])
+
+    g_p = jax.grad(lambda p: loss(plain, p))(params)
+    g_r = jax.grad(lambda p: loss(remat, p))(params)
+    _assert_grads_close(g_r, g_p)
+
+
 def test_scan_dpt_hooks():
     """DPT hooks consume per-layer scan outputs correctly."""
     cfg = dict(TINY, dec_depth=12, head_type="dpt")
