@@ -272,7 +272,8 @@ def build_criterion(criterion_str):
     return eval(criterion_str, ns)  # noqa: S307 - restricted namespace
 
 
-def build_model(model_str, dtype=None, attn_impl=None):
+def build_model(model_str, dtype=None, attn_impl=None, scan_layers=None,
+                remat=None):
     """Evaluate the model DSL string into a flax module definition."""
     from .checkpoint import model_from_arch_string
 
@@ -281,6 +282,10 @@ def build_model(model_str, dtype=None, attn_impl=None):
         overrides["dtype"] = dtype
     if attn_impl is not None:
         overrides["attn_impl"] = attn_impl
+    if scan_layers is not None:
+        overrides["scan_layers"] = scan_layers
+    if remat is not None:
+        overrides["remat"] = remat
     return model_from_arch_string(model_str, landscape_only=True, **overrides)
 
 
@@ -315,7 +320,10 @@ def train(args):
 
     print(f"Loading model: {args.model}")
     dtype = jnp.bfloat16 if args.amp else jnp.float32
-    model = build_model(args.model, dtype=dtype)
+    model = build_model(args.model, dtype=dtype,
+                        scan_layers=bool(getattr(args, "scan_layers", 0))
+                        or None,
+                        remat=bool(getattr(args, "remat", 0)) or None)
     train_criterion = build_criterion(args.train_criterion)
     test_criterion = build_criterion(args.test_criterion
                                      or args.train_criterion)
@@ -339,6 +347,10 @@ def train(args):
         print("Loading pretrained:", args.pretrained)
         from .checkpoint import load_torch_checkpoint
         _, params = load_torch_checkpoint(args.pretrained, verbose=True)
+        if model.scan_layers:
+            from .checkpoint import stack_scan_params
+            params = stack_scan_params(params, model.enc_depth,
+                                       model.dec_depth)
 
     state = init_train_state(params, spec)
     start_epoch = 0

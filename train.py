@@ -32,6 +32,12 @@ def get_args_parser():
     parser.add_argument("--warmup_epochs", type=int, default=40)
     parser.add_argument("--amp", type=int, default=0, choices=[0, 1],
                         help="bf16 compute in the model body")
+    parser.add_argument("--scan_layers", type=int, default=0, choices=[0, 1],
+                        help="lax.scan over layers (8x faster compiles; "
+                             "params stored stacked)")
+    parser.add_argument("--remat", type=int, default=0, choices=[0, 1],
+                        help="rematerialize block activations in the backward"
+                             " pass (fits B=16@224 on a 16G chip)")
     parser.add_argument("--num_workers", default=8, type=int)
     parser.add_argument("--world_size", default=1, type=int)
     parser.add_argument("--eval_freq", type=int, default=1)
