@@ -214,11 +214,18 @@ def _dpt_head(sd, tree, t, f):
 
 
 def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
-                             head_type="linear", verbose=False):
+                             head_type="linear", verbose=False,
+                             allow_missing=False):
     """torch state dict (tensor name -> numpy array) -> flax variables.
 
     Unconsumed tensors (e.g. mask_token, rope buffers) are reported when
     verbose - useful to audit real published checkpoints.
+
+    allow_missing: skip components whose tensors are absent instead of
+    raising - the training --pretrained path uses this to warm-start from a
+    backbone-only checkpoint (e.g. CroCo-V2, which has no downstream heads;
+    the reference loads those with strict=False via croco's load_model,
+    reference dust3r/training.py:145-151).
     """
     sd = _TrackedDict({k: np.asarray(v) for k, v in sd.items()})
 
@@ -229,23 +236,37 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
                 sd[key.replace("dec_blocks.", "dec_blocks2.", 1)] = sd[key]
 
     tree = {}
-    _conv(sd, tree, "patch_embed.proj", ("patch_embed", "proj"))
+    skipped = []
+
+    def go(fn, *args):
+        try:
+            fn(sd, tree, *args)
+        except KeyError:
+            if not allow_missing:
+                raise
+            skipped.append(args[0])
+
+    go(_conv, "patch_embed.proj", ("patch_embed", "proj"))
     for i in range(enc_depth):
-        _block(sd, tree, f"enc_blocks.{i}", (f"enc_blocks_{i}",))
-    _ln(sd, tree, "enc_norm", ("enc_norm",))
-    _linear(sd, tree, "decoder_embed", ("decoder_embed",))
+        go(_block, f"enc_blocks.{i}", (f"enc_blocks_{i}",))
+    go(_ln, "enc_norm", ("enc_norm",))
+    go(_linear, "decoder_embed", ("decoder_embed",))
     for i in range(dec_depth):
-        _dec_block(sd, tree, f"dec_blocks.{i}", (f"dec_blocks_{i}",))
-        _dec_block(sd, tree, f"dec_blocks2.{i}", (f"dec_blocks2_{i}",))
-    _ln(sd, tree, "dec_norm", ("dec_norm",))
+        go(_dec_block, f"dec_blocks.{i}", (f"dec_blocks_{i}",))
+        go(_dec_block, f"dec_blocks2.{i}", (f"dec_blocks2_{i}",))
+    go(_ln, "dec_norm", ("dec_norm",))
 
     for n in (1, 2):
         t = f"downstream_head{n}"
         f = (t,)
         if head_type == "linear":
-            _linear(sd, tree, f"{t}.proj", f + ("proj",))
+            go(_linear, f"{t}.proj", f + ("proj",))
         else:
-            _dpt_head(sd, tree, t, f)
+            go(_dpt_head, t, f)
+    if verbose and skipped:
+        print(f"converter: {len(skipped)} components not in checkpoint, "
+              f"kept at init: {skipped[:6]}"
+              + (" ..." if len(skipped) > 6 else ""))
 
     if verbose:
         leftovers = [k for k in sd.unused() if not k.endswith("num_batches_tracked")]
@@ -256,6 +277,54 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
 
     params = jax.tree.map(jnp.asarray, tree)
     return {"params": params}
+
+
+def overlay_params(init_variables, partial_variables):
+    """Merge a (possibly partial) converted tree over freshly-initialized
+    params: checkpoint values win where present, init values fill the rest.
+    Shape mismatches raise (wrong architecture for this checkpoint)."""
+    def merge(init, part):
+        if not isinstance(part, dict):
+            assert getattr(init, "shape", None) == part.shape, \
+                f"shape mismatch: ckpt {part.shape} vs model {init.shape}"
+            return part
+        out = dict(init)
+        for k, v in part.items():
+            assert k in init, f"checkpoint key {k!r} not in model params"
+            out[k] = merge(init[k], v)
+        return out
+
+    return merge(init_variables, partial_variables)
+
+
+def warm_start_params(path, model, init_variables, verbose=True):
+    """Training --pretrained path: load a torch .pth (full DUSt3R or a
+    backbone-only checkpoint like CroCo-V2) and overlay it onto the train
+    model's init params. The architecture comes from `model` (the --model
+    arg), NOT from the checkpoint - matching the reference, which builds
+    the model from args and loads weights non-strictly
+    (reference dust3r/training.py:127,145-151)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    converted = convert_torch_state_dict(
+        sd, enc_depth=model.enc_depth, dec_depth=model.dec_depth,
+        head_type=model.head_type, verbose=verbose, allow_missing=True)
+    merged = overlay_params(init_variables, converted)
+    if model.scan_layers:
+        merged = stack_scan_params(
+            unstack_noop_guard(merged), model.enc_depth, model.dec_depth)
+    return merged
+
+
+def unstack_noop_guard(variables):
+    """warm_start merges into a LOOP-layout init tree; callers with a scan
+    model must init in loop layout first (training.train does)."""
+    assert "enc_blocks_0" in variables["params"], \
+        "warm_start_params expects loop-layout init params"
+    return variables
 
 
 def stack_scan_params(variables, enc_depth, dec_depth):

@@ -338,19 +338,24 @@ def train(args):
                      weight_decay=args.weight_decay,
                      accum_iter=args.accum_iter, amp=bool(args.amp))
 
-    # init params (on a probe batch shape; batch dims don't matter)
+    # init params (on a probe batch shape; batch dims don't matter). Init in
+    # loop layout so torch checkpoints overlay by name, stack for scan mode.
+    from .checkpoint import stack_scan_params, warm_start_params
     H, W = 64, 64
     probe = jnp.zeros((1, H, W, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), probe, probe)
+    loop_model = model.clone(scan_layers=False) if model.scan_layers \
+        else model
+    params = jax.jit(loop_model.init)(jax.random.PRNGKey(args.seed),
+                                      probe, probe)
 
     if args.pretrained:
+        # arch comes from --model; the checkpoint may be a full DUSt3R .pth
+        # or backbone-only (CroCo-V2) - missing parts stay at init
         print("Loading pretrained:", args.pretrained)
-        from .checkpoint import load_torch_checkpoint
-        _, params = load_torch_checkpoint(args.pretrained, verbose=True)
-        if model.scan_layers:
-            from .checkpoint import stack_scan_params
-            params = stack_scan_params(params, model.enc_depth,
-                                       model.dec_depth)
+        params = warm_start_params(args.pretrained, model, params,
+                                   verbose=True)
+    elif model.scan_layers:
+        params = stack_scan_params(params, model.enc_depth, model.dec_depth)
 
     state = init_train_state(params, spec)
     start_epoch = 0

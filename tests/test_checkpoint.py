@@ -110,6 +110,42 @@ class TestTorchConversion:
         np.testing.assert_allclose(np.asarray(res2["pts3d_in_other_view"]),
                                    tp2.numpy(), rtol=1e-3, atol=1e-4)
 
+    def test_warm_start_backbone_only(self, converted, tmp_path):
+        """--pretrained with a backbone-only checkpoint (CroCo-V2 style: no
+        downstream heads, extra mask_token): backbone weights load, heads
+        stay at init, scan layout stacks."""
+        from dust3r_tpu.checkpoint import warm_start_params
+        tmodel, jmodel, _ = converted
+        sd = {k: v for k, v in tmodel.state_dict().items()
+              if not k.startswith(("downstream_head", "dec_blocks2"))}
+        sd["mask_token"] = torch.zeros(1, 1, 64)
+        path = str(tmp_path / "croco.pth")
+        torch.save({"model": sd}, path)
+
+        init = jmodel.init(jax.random.PRNGKey(1), jnp.ones((1, 32, 32, 3)),
+                           jnp.ones((1, 32, 32, 3)))
+        merged = warm_start_params(path, jmodel, init, verbose=False)
+        # backbone from the checkpoint
+        np.testing.assert_allclose(
+            np.asarray(merged["params"]["enc_blocks_0"]["attn"]["qkv"]["kernel"]),
+            tmodel.state_dict()["enc_blocks.0.attn.qkv.weight"].numpy().T,
+            rtol=1e-6)
+        # dec_blocks duplicated into dec_blocks2
+        np.testing.assert_array_equal(
+            np.asarray(merged["params"]["dec_blocks2_0"]["attn"]["qkv"]["kernel"]),
+            np.asarray(merged["params"]["dec_blocks_0"]["attn"]["qkv"]["kernel"]))
+        # heads kept at init
+        np.testing.assert_array_equal(
+            np.asarray(merged["params"]["downstream_head1"]["proj"]["kernel"]),
+            np.asarray(init["params"]["downstream_head1"]["proj"]["kernel"]))
+
+        # scan-mode stacking path
+        scan_model = jmodel.clone(scan_layers=True)
+        stacked = warm_start_params(path, scan_model, init, verbose=False)
+        assert "enc_blocks_scan" in stacked["params"]
+        assert stacked["params"]["enc_blocks_scan"]["block"]["attn"]["qkv"][
+            "kernel"].shape[0] == 2
+
     def test_param_tree_matches_model_init(self, converted):
         """Converted tree must have exactly the structure model.init makes."""
         tmodel, jmodel, variables = converted
