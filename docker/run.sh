@@ -36,8 +36,6 @@ if [ ! -f "$ckpt" ]; then
 fi
 
 export MODEL="${model_name}.pth"
-if [ "$with_tpu" -eq 1 ]; then
-    exec $dcomp -f docker-compose-tpu.yml up --build
-else
-    exec $dcomp -f docker-compose-cpu.yml up --build
-fi
+profile=cpu
+[ "$with_tpu" -eq 1 ] && profile=tpu
+exec $dcomp --profile "$profile" up --build

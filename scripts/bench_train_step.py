@@ -1,7 +1,7 @@
 import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
-from dust3r_tpu.models.model import dust3r_224_linear
+from dust3r_tpu.models import model as M
 from dust3r_tpu.losses import ConfLoss, Regr3D, L21
 from dust3r_tpu.training import TrainSpec, init_train_state, build_train_step
 
@@ -9,10 +9,12 @@ def sync(x): return float(jnp.sum(jnp.ravel(x)[:1]))
 
 import os
 B = int(os.environ.get("TRAIN_B", "16"))
-H, W = 224, 224
-model = dust3r_224_linear(dtype=jnp.bfloat16, scan_layers=True,
-                          remat=os.environ.get("REMAT", "0") == "1")
-print(f"B={B} remat={model.remat}", flush=True)
+H = int(os.environ.get("TRAIN_H", "224"))
+W = int(os.environ.get("TRAIN_W", "224"))
+CFG = os.environ.get("TRAIN_CFG", "dust3r_224_linear")
+model = getattr(M, CFG)(dtype=jnp.bfloat16, scan_layers=True,
+                        remat=os.environ.get("REMAT", "0") == "1")
+print(f"cfg={CFG} B={B} {H}x{W} remat={model.remat}", flush=True)
 
 rng = np.random.default_rng(0)
 def view(seed):
