@@ -54,6 +54,12 @@ class TrainSpec:
     accum_iter: int = 1
     amp: bool = True          # bf16 compute in the model body
     freeze: str = "none"      # 'none' | 'mask' | 'encoder' (model.py:100-107)
+    clip_grad: float = 0.0    # >0: clip gradients to this global norm
+    # Non-finite gradients SKIP the update (params/opt state kept) instead of
+    # poisoning Adam moments - the TPU-native analogue of the reference AMP
+    # GradScaler's inf-step skipping (croco NativeScalerWithGradNormCount);
+    # the non-finite-loss hard abort (reference training.py:303-305) still
+    # applies on the host side via check_finite_or_die.
 
 
 def wd_mask(params):
@@ -134,16 +140,32 @@ def build_train_step(model, criterion, spec: TrainSpec, mesh=None):
             fmask = freeze_mask(params, spec.freeze)
             grads = jax.tree.map(lambda g, m: g * m, grads, fmask)
 
+        grad_norm = optax.global_norm(grads)
+        if spec.clip_grad > 0:
+            factor = jnp.minimum(1.0, spec.clip_grad /
+                                 jnp.maximum(grad_norm, 1e-12))
+            grads = jax.tree.map(lambda g: g * factor, grads)
+
         lr = cosine_warmup_lr(epoch_f, spec.lr, spec.min_lr,
                               spec.warmup_epochs, spec.epochs)
         opt_state = state["opt_state"]
         opt_state.hyperparams["learning_rate"] = lr
         updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        new_params = optax.apply_updates(params, updates)
+
+        # skip non-finite updates (see TrainSpec docstring)
+        finite = jnp.isfinite(grad_norm) & jnp.isfinite(loss)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_params, params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "shape") else new,
+            opt_state, state["opt_state"])
+
         new_state = dict(params=params, opt_state=opt_state,
                          step=state["step"] + 1)
-        grad_norm = optax.global_norm(grads)
-        metrics = dict(loss=loss, lr=lr, grad_norm=grad_norm, **details)
+        metrics = dict(loss=loss, lr=lr, grad_norm=grad_norm,
+                       skipped=(~finite).astype(jnp.float32), **details)
         return new_state, metrics
 
     # donate the input state: params + Adam moments of the 0.6B model are

@@ -146,6 +146,54 @@ class TestTrainStep:
         assert losses[-1] < losses[0], losses
         assert np.isfinite(losses).all()
 
+    def test_nonfinite_grads_skip_update(self):
+        """NaN batch -> the step reports skipped=1 and leaves params and
+        Adam moments untouched (GradScaler-skip analogue)."""
+        model = AsymmetricCroCo3DStereo(**TINY)
+        v1, v2 = make_batch()
+        params = model.init(jax.random.PRNGKey(0), v1["img"], v2["img"])
+        before = jax.tree.map(np.array, params)
+        criterion = ConfLoss(Regr3D(L21), alpha=0.2)
+        spec = TrainSpec(lr=1e-3, warmup_epochs=0, epochs=1, amp=False)
+        state = init_train_state(params, spec)
+        step = build_train_step(model, criterion, spec)
+
+        bad_v1 = dict(v1, img=v1["img"].at[0, 0, 0, 0].set(jnp.nan))
+        state, metrics = step(state, (bad_v1, v2), jnp.asarray(0.5))
+        assert float(metrics["skipped"]) == 1.0
+        after = jax.tree.leaves(state["params"])
+        for a, b in zip(after, jax.tree.leaves(before)):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+        # a clean batch afterwards updates normally
+        state, metrics = step(state, (v1, v2), jnp.asarray(0.5))
+        assert float(metrics["skipped"]) == 0.0
+        assert np.isfinite(float(metrics["loss"]))
+        changed = any(
+            not np.array_equal(np.asarray(a), b) for a, b in
+            zip(jax.tree.leaves(state["params"]), jax.tree.leaves(before)))
+        assert changed
+
+    def test_clip_grad(self):
+        model = AsymmetricCroCo3DStereo(**TINY)
+        v1, v2 = make_batch()
+        params = model.init(jax.random.PRNGKey(0), v1["img"], v2["img"])
+        criterion = ConfLoss(Regr3D(L21), alpha=0.2)
+        spec = TrainSpec(lr=1e-3, warmup_epochs=0, epochs=1, amp=False,
+                         clip_grad=1e-6)  # absurdly tight: update ~ 0
+        state = init_train_state(params, spec)
+        step = build_train_step(model, criterion, spec)
+        before = jax.tree.map(np.array, params)
+        state, metrics = step(state, (v1, v2), jnp.asarray(0.5))
+        # grad_norm metric is pre-clip; params moved by at most ~lr since
+        # Adam normalizes, but the clipped grads are tiny -> effective
+        # update far below the unclipped one. Just check it ran and params
+        # moved by a bounded amount.
+        assert float(metrics["grad_norm"]) > 1e-6
+        for a, b in zip(jax.tree.leaves(state["params"]),
+                        jax.tree.leaves(before)):
+            assert float(np.max(np.abs(np.asarray(a) - b))) < 2e-3
+
     def test_grad_accum_matches_large_batch(self):
         model = AsymmetricCroCo3DStereo(**TINY)
         v1, v2 = make_batch(B=4)
