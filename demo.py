@@ -1,13 +1,12 @@
 #!/usr/bin/env python3
-"""Gradio demo executable (reference-compatible: /root/reference/demo.py)."""
+"""Gradio demo launcher (CLI contract: /root/reference/demo.py)."""
 import os
 import tempfile
 
 from dust3r_tpu.demo import get_args_parser, main_demo, set_print_with_timestamp
-from dust3r_tpu.checkpoint import from_pretrained
-from dust3r_tpu.inference import InferenceEngine
 
-if __name__ == "__main__":
+
+def main():
     args = get_args_parser().parse_args()
     set_print_with_timestamp()
 
@@ -15,17 +14,22 @@ if __name__ == "__main__":
         os.makedirs(args.tmp_dir, exist_ok=True)
         tempfile.tempdir = args.tmp_dir
 
-    if args.server_name is not None:
-        server_name = args.server_name
-    else:
-        server_name = "0.0.0.0" if args.local_network else "127.0.0.1"
+    server_name = args.server_name or (
+        "0.0.0.0" if args.local_network else "127.0.0.1")
 
-    weights_path = args.weights if args.weights else "naver/" + args.model_name
-    model, variables = from_pretrained(weights_path)
+    from dust3r_tpu.checkpoint import from_pretrained
+    from dust3r_tpu.inference import InferenceEngine
+
+    model, variables = from_pretrained(
+        args.weights or "naver/" + args.model_name)
     engine = InferenceEngine(model, variables, batch_size=1)
 
-    with tempfile.TemporaryDirectory(suffix="dust3r_gradio_demo") as tmpdirname:
+    with tempfile.TemporaryDirectory(suffix="dust3r_gradio_demo") as tmp:
         if not args.silent:
-            print("Outputing stuff in", tmpdirname)
-        main_demo(tmpdirname, engine, args.device, args.image_size,
-                  server_name, args.server_port, silent=args.silent)
+            print("Outputing stuff in", tmp)
+        main_demo(tmp, engine, args.device, args.image_size, server_name,
+                  args.server_port, silent=args.silent)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,7 +39,8 @@ n_params = sum(x.size for x in jax.tree.leaves(params))
 print(f"params: {n_params/1e6:.1f}M", flush=True)
 
 criterion = ConfLoss(Regr3D(L21, norm_mode='avg_dis'), alpha=0.2)
-spec = TrainSpec(lr=1e-4, warmup_epochs=0, epochs=1)
+spec = TrainSpec(lr=1e-4, warmup_epochs=0, epochs=1,
+                 clip_grad=float(os.environ.get("CLIP", "0")))
 state = init_train_state(params, spec)
 step = build_train_step(model, criterion, spec)
 
@@ -54,5 +55,7 @@ for i in range(iters):
     state, metrics = step(state, batch, jnp.asarray(i * 0.001))
 l = float(metrics["loss"])
 dt = (time.perf_counter()-t0)/iters
-print(f"steady: {dt*1e3:.0f} ms/step, {B/dt:.1f} pairs/s, loss={l:.3f}", flush=True)
+print(f"steady: {dt*1e3:.0f} ms/step, {B/dt:.1f} pairs/s, loss={l:.3f}, "
+      f"skipped={float(metrics.get('skipped', 0)):.0f}, "
+      f"grad_norm={float(metrics['grad_norm']):.2e}", flush=True)
 print("DONE", flush=True)
