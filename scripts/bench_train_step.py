@@ -39,7 +39,9 @@ n_params = sum(x.size for x in jax.tree.leaves(params))
 print(f"params: {n_params/1e6:.1f}M", flush=True)
 
 criterion = ConfLoss(Regr3D(L21, norm_mode='avg_dis'), alpha=0.2)
-spec = TrainSpec(lr=1e-4, warmup_epochs=0, epochs=1,
+spec = TrainSpec(lr=1e-4,
+                 warmup_epochs=float(os.environ.get("WARMUP", "0")),
+                 epochs=10,
                  clip_grad=float(os.environ.get("CLIP", "0")))
 state = init_train_state(params, spec)
 step = build_train_step(model, criterion, spec)
