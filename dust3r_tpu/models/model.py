@@ -94,6 +94,16 @@ class AsymmetricCroCo3DStereo(nn.Module):
     # pass (jax.checkpoint): trades ~30% more FLOPs for O(depth) less
     # activation memory - needed for large-batch training on 16GB HBM
 
+    @classmethod
+    def from_pretrained(cls, name_or_path, **overrides):
+        """Reference-parity loader (dust3r/model.py:76-85 hf hub mixin):
+        `AsymmetricCroCo3DStereo.from_pretrained("naver/DUSt3R_...")`.
+        Returns (model, variables) - params are explicit in JAX, there is
+        no `.to(device)` step (arrays land on the default device)."""
+        from ..checkpoint import from_pretrained as _from_pretrained
+
+        return _from_pretrained(name_or_path, **overrides)
+
     @property
     def rope_base(self) -> Optional[float]:
         if self.pos_embed.startswith("RoPE"):
