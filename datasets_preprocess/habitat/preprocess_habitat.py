@@ -17,6 +17,7 @@ import PIL.Image
 os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 
 from . import multiview_crop_generator
+from dust3r_tpu.utils.exr import imwrite_exr
 
 
 def preprocess_metadata(metadata_filename, scenes_dir, output_dir,
@@ -76,7 +77,7 @@ def preprocess_metadata(metadata_filename, scenes_dir, output_dir,
 
             PIL.Image.fromarray(colormap).save(
                 os.path.join(output_dir, f"{label}.jpeg"))
-            cv2.imwrite(os.path.join(output_dir, f"{label}_depth.exr"),
+            imwrite_exr(os.path.join(output_dir, f"{label}_depth.exr"),
                         depthmap,
                         [cv2.IMWRITE_EXR_TYPE, cv2.IMWRITE_EXR_TYPE_HALF])
             with open(out_params, "w") as f:

@@ -18,6 +18,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 
 from dust3r_tpu.utils.parallel import parallel_threads
+from dust3r_tpu.utils.exr import imwrite_exr
 from dust3r_tpu.datasets.utils import cropping
 
 
@@ -81,7 +82,7 @@ def process_one(root, img, out_dir):
         color, depth, K, (512, 384))
 
     image.save(osp.join(out_dir, img + ".jpg"), quality=80)
-    cv2.imwrite(osp.join(out_dir, img + ".exr"), depthmap)
+    imwrite_exr(osp.join(out_dir, img + ".exr"), depthmap)
     np.savez(osp.join(out_dir, img + ".npz"), intrinsics=K_out,
              R_cam2world=R_c2w, t_cam2world=t_c2w)
 

@@ -17,6 +17,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 
 from dust3r_tpu.utils.parallel import parallel_threads
+from dust3r_tpu.utils.exr import imwrite_exr
 from dust3r_tpu.utils.pose import quat_to_rotmat
 from dust3r_tpu.datasets.utils import cropping
 
@@ -96,7 +97,7 @@ def resize_one_image(root, tag, K_pre_rectif, pose_w2cam, out_dir):
         img, depthmap, K_post, resolution_out, force=False)
 
     img_out.save(osp.join(out_dir, tag + ".jpg"), quality=90)
-    cv2.imwrite(osp.join(out_dir, tag + ".exr"), depth_out)
+    imwrite_exr(osp.join(out_dir, tag + ".exr"), depth_out)
     cam2world = np.linalg.inv(pose_w2cam)
     np.savez(osp.join(out_dir, tag + ".npz"), intrinsics=K_out,
              cam2world=cam2world)

@@ -17,6 +17,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 
 from dust3r_tpu.utils.parallel import parallel_threads
+from dust3r_tpu.utils.exr import imwrite_exr
 from dust3r_tpu.datasets.utils import cropping
 
 
@@ -70,7 +71,7 @@ def process_one(db_root, relpath_, camera, num, out_dir):
 
     clean_out.save(osp.join(out_dir, relpath + "_clean.jpg"), quality=80)
     final_out.save(osp.join(out_dir, relpath + "_final.jpg"), quality=80)
-    cv2.imwrite(osp.join(out_dir, relpath + ".exr"), depthmap)
+    imwrite_exr(osp.join(out_dir, relpath + ".exr"), depthmap)
     np.savez(osp.join(out_dir, relpath + ".npz"), intrinsics=K_out,
              cam2world=cam2world)
 

@@ -55,15 +55,14 @@ class Habitat(BaseStereoViewDataset):
         return views
 
     def _load_one_view(self, data_path, key, view_index, resolution, rng):
-        import cv2
+        from ..utils.image import imread_cv2
 
         view_index += 1  # file indices start at 1
         impath = osp.join(data_path, f"{key}_{view_index}.jpeg")
         image = Image.open(impath)
 
-        depthmap = cv2.imread(
-            osp.join(data_path, f"{key}_{view_index}_depth.exr"),
-            cv2.IMREAD_GRAYSCALE | cv2.IMREAD_ANYDEPTH)
+        depthmap = imread_cv2(
+            osp.join(data_path, f"{key}_{view_index}_depth.exr"))
 
         with open(osp.join(data_path,
                            f"{key}_{view_index}_camera_params.json")) as f:

@@ -16,8 +16,13 @@ from ..utils.image import imread_cv2
 
 class MegaDepth(BaseStereoViewDataset):
     def __init__(self, *args, split, ROOT, **kwargs):
+        # NOTE the reference (dust3r/datasets/megadepth.py:17-29) captures
+        # `split` as a keyword-only arg that SHADOWS the base's, so its
+        # self.split stays None and the documented 0015/0022 train/val
+        # exclusion never fires. We forward it - implementing the
+        # documented intent.
         self.ROOT = ROOT
-        super().__init__(*args, **kwargs)
+        super().__init__(*args, split=split, **kwargs)
         self._load_data(self.split)
         if self.split is None:
             pass

@@ -29,13 +29,21 @@ except ImportError:  # optional dependency, same as reference
 
 
 def imread_cv2(path, options=None):
-    """Open an image or depthmap with OpenCV (EXR-aware), RGB output."""
+    """Open an image or depthmap with OpenCV (EXR-aware), RGB output.
+
+    EXR decoding falls back to the built-in numpy codec (utils/exr.py)
+    when cv2 is built without OpenEXR (common: the OPENCV_IO_ENABLE_OPENEXR
+    opt-out era) - the reference pipeline stores all depthmaps as .exr."""
     import cv2
 
     if options is None:
         options = cv2.IMREAD_COLOR
     if path.lower().endswith(".exr"):
-        options = cv2.IMREAD_ANYDEPTH
+        img = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+        if img is None:
+            from .exr import read_exr
+            img = read_exr(path)
+        return img
     img = cv2.imread(path, options)
     if img is None:
         raise IOError(f"Could not load image={path} with {options=}")
