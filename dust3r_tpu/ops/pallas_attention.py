@@ -15,6 +15,7 @@ on token positions, shared across heads and layers).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rope import rope_cos_sin
+
+# interpret mode runs the kernel as plain jax on any backend - used by the
+# CPU test suite to exercise the kernel math without a TPU
+_INTERPRET = bool(os.environ.get("DUST3R_TPU_PALLAS_INTERPRET"))
 
 
 def _rope_tables(positions, head_dim, base):
@@ -115,6 +120,7 @@ def _fused_attention_simple(q, k, v, cq, sq, ck, sk, use_rope):
             bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
             transcendentals=B * H * Nq * Nk,
         ),
+        interpret=_INTERPRET,
     )(qf, kf, vf, cq, sq, ck, sk)
     return out.reshape(B, H, Nq, d)
 
@@ -205,5 +211,6 @@ def fused_attention(q, k, v, positions_q=None, positions_k=None,
             bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
             transcendentals=B * H * Nq * Nk,
         ),
+        interpret=_INTERPRET,
     )(qf, kf, vf, cq, sq, ck, sk)
     return out.reshape(B, H, Nq, d)
