@@ -87,3 +87,48 @@ class TestCo3dLoader:
         for v in views:
             d = v["depthmap"][v["valid_mask"]]
             assert d.min() > 0.5 and d.max() < 4.5  # original range [1, 4]
+
+
+@pytest.fixture(scope="module")
+def wildrgbd_root(tmp_path_factory):
+    """WildRGB-D layout: obj/instance/{rgb,depth,masks,metadata}/xxxxx.*,
+    metric depth in millimeters (reference dust3r/datasets/wildrgbd.py)."""
+    root = str(tmp_path_factory.mktemp("wildrgbd"))
+    rng = np.random.default_rng(1)
+    H, W = 96, 128
+    selected = {"cat": {"scene0": list(range(100))}}
+    base = osp.join(root, "cat", "scene0")
+    for sub in ("rgb", "depth", "masks", "metadata"):
+        os.makedirs(osp.join(base, sub), exist_ok=True)
+    K = np.float32([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    for fn in range(100):
+        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        cv2.imwrite(osp.join(base, "rgb", f"{fn:0>5d}.jpg"), img)
+        depth_mm = rng.uniform(1000, 4000, (H, W)).astype(np.uint16)
+        cv2.imwrite(osp.join(base, "depth", f"{fn:0>5d}.png"), depth_mm)
+        mask = (rng.uniform(size=(H, W)) > 0.2).astype(np.uint8) * 255
+        cv2.imwrite(osp.join(base, "masks", f"{fn:0>5d}.png"), mask)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = rng.standard_normal(3)
+        np.savez(osp.join(base, "metadata", f"{fn:0>5d}.npz"),
+                 camera_intrinsics=K, camera_pose=pose,
+                 maximum_depth=4.0)
+    with open(osp.join(root, "selected_seqs_train.json"), "w") as f:
+        json.dump(selected, f)
+    return root
+
+
+class TestWildRGBDLoader:
+    def test_getitem_metric_depth(self, wildrgbd_root):
+        from dust3r_tpu.datasets import WildRGBD
+        ds = WildRGBD(split="train", ROOT=wildrgbd_root,
+                      resolution=(64, 48), mask_bg=True, seed=9)
+        assert len(ds) > 0
+        views = ds[0]
+        assert len(views) == 2
+        for v in views:
+            assert v["dataset"] == "WildRGBD"
+            d = v["depthmap"][v["valid_mask"]]
+            # mm -> meters conversion: original range [1, 4] m
+            assert d.size and d.min() > 0.5 and d.max() < 4.5
+            assert np.isfinite(v["pts3d"]).all()
