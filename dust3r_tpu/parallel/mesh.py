@@ -3,13 +3,18 @@
 Replaces the reference's DDP/NCCL stack (torch DistributedDataParallel,
 reference dust3r/training.py:152-155, SURVEY.md §2.9) with the TPU-native
 equivalent: a jax.sharding.Mesh over ICI, parameters replicated or
-FSDP-sharded via NamedSharding, gradient reduction emitted by XLA from the
-sharding annotations - no explicit collectives in user code.
+FSDP/TP-sharded via NamedSharding, all collectives (gradient reduction,
+TP partial-sum reduce) emitted by XLA from the sharding annotations -
+no explicit collectives in user code.
 
 Mesh axes:
   data  - batch (pure data parallelism; DDP equivalent)
   fsdp  - optional parameter sharding (ZeRO-3 style); the ~0.6B-param
           model fits one chip, so fsdp=1 is the parity default.
+  model - optional tensor parallelism over the transformer MLPs
+          (Megatron split: fc1 column-parallel -> local GELU -> fc2
+          row-parallel, XLA inserts the partial-sum all-reduce). The MLPs
+          are ~2/3 of parameters and FLOPs; attention stays data-local.
 """
 from __future__ import annotations
 
@@ -18,16 +23,17 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data=None, n_fsdp=1, devices=None):
-    """Build a (data, fsdp) mesh over the available devices."""
+def make_mesh(n_data=None, n_fsdp=1, n_model=1, devices=None):
+    """Build a (data, fsdp, model) mesh over the available devices."""
     if devices is None:
         devices = jax.devices()
     n_total = len(devices)
     if n_data is None:
-        n_data = n_total // n_fsdp
-    assert n_data * n_fsdp <= n_total
-    dev = np.asarray(devices[:n_data * n_fsdp]).reshape(n_data, n_fsdp)
-    return Mesh(dev, ("data", "fsdp"))
+        n_data = n_total // (n_fsdp * n_model)
+    n_used = n_data * n_fsdp * n_model
+    assert n_used <= n_total
+    dev = np.asarray(devices[:n_used]).reshape(n_data, n_fsdp, n_model)
+    return Mesh(dev, ("data", "fsdp", "model"))
 
 
 def batch_sharding(mesh):
@@ -35,25 +41,58 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P("data"))
 
 
-def _fsdp_spec(leaf, n_fsdp):
-    """Choose the largest axis divisible by n_fsdp to shard, else replicate."""
+def _fsdp_spec(leaf, n_fsdp, taken_axis=None):
+    """Choose the largest axis divisible by n_fsdp to shard, else replicate.
+    taken_axis: axis already claimed by TP (skipped)."""
     if n_fsdp <= 1 or leaf.ndim == 0:
-        return P()
+        return [None] * leaf.ndim
     sizes = list(leaf.shape)
     order = np.argsort(sizes)[::-1]
     for ax in order:
+        if ax == taken_axis:
+            continue
         if sizes[ax] % n_fsdp == 0 and sizes[ax] >= n_fsdp:
             spec = [None] * leaf.ndim
             spec[ax] = "fsdp"
-            return P(*spec)
-    return P()
+            return spec
+    return [None] * leaf.ndim
+
+
+def _tp_axis(path_keys):
+    """Megatron MLP split: returns (param kind) for TP-eligible leaves.
+
+    fc1 kernel (in, hidden): shard hidden (axis -1) -> column parallel
+    fc1 bias   (hidden,):    shard axis 0
+    fc2 kernel (hidden, out): shard hidden (axis 0) -> row parallel
+    """
+    keys = [getattr(k, "key", None) for k in path_keys]
+    if "mlp" not in keys:
+        return None
+    leafname = keys[-1]
+    if "fc1" in keys:
+        return -1 if leafname == "kernel" else 0
+    if "fc2" in keys and leafname == "kernel":
+        return 0
+    return None
 
 
 def param_shardings(mesh, params):
     """Per-leaf NamedSharding pytree for the parameters."""
     n_fsdp = mesh.shape["fsdp"]
-    return jax.tree.map(
-        lambda leaf: NamedSharding(mesh, _fsdp_spec(leaf, n_fsdp)), params)
+    n_model = mesh.shape.get("model", 1)
+
+    def spec_of(path, leaf):
+        tp_ax = _tp_axis(path) if n_model > 1 else None
+        if tp_ax is not None:
+            tp_ax = tp_ax % leaf.ndim
+            if leaf.shape[tp_ax] % n_model:
+                tp_ax = None
+        spec = _fsdp_spec(leaf, n_fsdp, taken_axis=tp_ax)
+        if tp_ax is not None:
+            spec[tp_ax] = "model"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(spec_of, params)
 
 
 def replicated(mesh):

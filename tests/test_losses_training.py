@@ -261,3 +261,37 @@ class TestMeshTraining:
         _, metrics_ref = step_ref(state_ref, (v1, v2), jnp.asarray(0.0))
         np.testing.assert_allclose(loss_sharded, float(metrics_ref["loss"]),
                                    rtol=1e-4)
+
+    def test_8device_dp_fsdp_tp_step(self):
+        """2x2x2 (data, fsdp, model) mesh: Megatron MLP tensor parallelism
+        composed with FSDP + DP; loss must match single-device."""
+        from dust3r_tpu.parallel.mesh import (make_mesh, shard_params,
+                                              shard_batch, param_shardings)
+        from jax.sharding import PartitionSpec as P
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(n_data=2, n_fsdp=2, n_model=2)
+        model = AsymmetricCroCo3DStereo(**TINY)
+        v1, v2 = make_batch(B=4)
+        params = model.init(jax.random.PRNGKey(0), v1["img"][:1],
+                            v2["img"][:1])
+
+        # the MLP kernels really are TP-sharded
+        sh = param_shardings(mesh, params)
+        fc1 = sh["params"]["enc_blocks_0"]["mlp"]["fc1"]["kernel"].spec
+        fc2 = sh["params"]["enc_blocks_0"]["mlp"]["fc2"]["kernel"].spec
+        assert fc1[-1] == "model" and fc2[0] == "model"
+
+        criterion = ConfLoss(Regr3D(L21), alpha=0.2)
+        spec = TrainSpec(lr=1e-3, warmup_epochs=0, epochs=1)
+        with mesh:
+            state = init_train_state(shard_params(mesh, params), spec)
+            batch = shard_batch(mesh, (v1, v2))
+            step = build_train_step(model, criterion, spec, mesh=mesh)
+            state, metrics = step(state, batch, jnp.asarray(0.0))
+            loss_tp = float(metrics["loss"])
+
+        state_ref = init_train_state(params, spec)
+        step_ref = build_train_step(model, criterion, spec)
+        _, metrics_ref = step_ref(state_ref, (v1, v2), jnp.asarray(0.0))
+        np.testing.assert_allclose(loss_tp, float(metrics_ref["loss"]),
+                                   rtol=1e-4)
