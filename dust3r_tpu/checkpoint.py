@@ -279,6 +279,129 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
     return {"params": params}
 
 
+def to_torch_state_dict(variables, enc_depth=24, dec_depth=12,
+                        head_type="linear"):
+    """Inverse of convert_torch_state_dict: flax variables -> torch-style
+    state dict (numpy arrays, reference tensor names). Lets TPU-trained
+    weights flow back into the torch ecosystem; the roundtrip is tested
+    bit-exactly."""
+    params = variables["params"]
+    sd = {}
+
+    def get(path):
+        node = params
+        for k in path:
+            node = node[k]
+        return np.array(node)
+
+    def linear(t, f):
+        sd[t + ".weight"] = np.ascontiguousarray(get(f + ("kernel",)).T)
+        try:
+            sd[t + ".bias"] = get(f + ("bias",))
+        except KeyError:
+            pass
+
+    def conv(t, f, bias=True):
+        w = get(f + ("kernel",))  # HWIO -> OIHW
+        sd[t + ".weight"] = np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+        if bias:
+            sd[t + ".bias"] = get(f + ("bias",))
+
+    def convT(t, f):
+        sd[t + ".weight"] = get(f + ("kernel",))
+        sd[t + ".bias"] = get(f + ("bias",))
+
+    def ln(t, f):
+        sd[t + ".weight"] = get(f + ("ln", "scale"))
+        sd[t + ".bias"] = get(f + ("ln", "bias"))
+
+    def block(t, f):
+        ln(f"{t}.norm1", f + ("norm1",))
+        linear(f"{t}.attn.qkv", f + ("attn", "qkv"))
+        linear(f"{t}.attn.proj", f + ("attn", "proj"))
+        ln(f"{t}.norm2", f + ("norm2",))
+        linear(f"{t}.mlp.fc1", f + ("mlp", "fc1"))
+        linear(f"{t}.mlp.fc2", f + ("mlp", "fc2"))
+
+    def dec_block(t, f):
+        ln(f"{t}.norm1", f + ("norm1",))
+        linear(f"{t}.attn.qkv", f + ("attn", "qkv"))
+        linear(f"{t}.attn.proj", f + ("attn", "proj"))
+        ln(f"{t}.norm_y", f + ("norm_y",))
+        ln(f"{t}.norm2", f + ("norm2",))
+        for p in ("projq", "projk", "projv", "proj"):
+            linear(f"{t}.cross_attn.{p}", f + ("cross_attn", p))
+        ln(f"{t}.norm3", f + ("norm3",))
+        linear(f"{t}.mlp.fc1", f + ("mlp", "fc1"))
+        linear(f"{t}.mlp.fc2", f + ("mlp", "fc2"))
+
+    def dpt_head(t, f):
+        conv(f"{t}.dpt.act_postprocess.0.0", f + ("act_0_proj",))
+        convT(f"{t}.dpt.act_postprocess.0.1", f + ("act_0_up4",))
+        conv(f"{t}.dpt.act_postprocess.1.0", f + ("act_1_proj",))
+        convT(f"{t}.dpt.act_postprocess.1.1", f + ("act_1_up2",))
+        conv(f"{t}.dpt.act_postprocess.2.0", f + ("act_2_proj",))
+        conv(f"{t}.dpt.act_postprocess.3.0", f + ("act_3_proj",))
+        conv(f"{t}.dpt.act_postprocess.3.1", f + ("act_3_down2",))
+        for k in range(1, 5):
+            conv(f"{t}.dpt.scratch.layer{k}_rn", f + (f"layer{k}_rn",),
+                 bias=False)
+            rf = f"{t}.dpt.scratch.refinenet{k}"
+            for unit in ("resConfUnit1", "resConfUnit2"):
+                for c in ("conv1", "conv2"):
+                    conv(f"{rf}.{unit}.{c}", f + (f"refinenet{k}", unit, c))
+            conv(f"{rf}.out_conv", f + (f"refinenet{k}", "out_conv"))
+        conv(f"{t}.dpt.head.0", f + ("head_conv1",))
+        conv(f"{t}.dpt.head.2", f + ("head_conv2",))
+        conv(f"{t}.dpt.head.4", f + ("head_conv3",))
+
+    conv("patch_embed.proj", ("patch_embed", "proj"))
+    for i in range(enc_depth):
+        block(f"enc_blocks.{i}", (f"enc_blocks_{i}",))
+    ln("enc_norm", ("enc_norm",))
+    linear("decoder_embed", ("decoder_embed",))
+    for i in range(dec_depth):
+        dec_block(f"dec_blocks.{i}", (f"dec_blocks_{i}",))
+        dec_block(f"dec_blocks2.{i}", (f"dec_blocks2_{i}",))
+    ln("dec_norm", ("dec_norm",))
+    for n in (1, 2):
+        t = f"downstream_head{n}"
+        if head_type == "linear":
+            linear(f"{t}.proj", (t, "proj"))
+        else:
+            dpt_head(t, (t,))
+    return sd
+
+
+def save_torch_checkpoint(path, model, variables, extra=None):
+    """Write a reference-loadable .pth: {'model': state_dict, 'args': ...}.
+
+    The arch string stored makes the file loadable by BOTH this framework's
+    load_torch_checkpoint and the reference's load_model."""
+    import torch
+    from argparse import Namespace
+
+    if "enc_blocks_scan" in variables.get("params", {}):
+        variables = unstack_scan_params(variables, model.enc_depth,
+                                        model.dec_depth)
+    sd = to_torch_state_dict(variables, enc_depth=model.enc_depth,
+                             dec_depth=model.dec_depth,
+                             head_type=model.head_type)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    arch = (
+        f"AsymmetricCroCo3DStereo(pos_embed={model.pos_embed!r}, "
+        f"img_size={tuple(model.img_size)}, head_type={model.head_type!r}, "
+        f"output_mode={model.output_mode!r}, "
+        f"depth_mode={tuple(model.depth_mode)}, "
+        f"conf_mode={tuple(model.conf_mode) if model.conf_mode else None}, "
+        f"enc_embed_dim={model.enc_embed_dim}, enc_depth={model.enc_depth}, "
+        f"enc_num_heads={model.enc_num_heads}, "
+        f"dec_embed_dim={model.dec_embed_dim}, dec_depth={model.dec_depth}, "
+        f"dec_num_heads={model.dec_num_heads})")
+    ckpt = dict(model=sd, args=Namespace(model=arch), **(extra or {}))
+    torch.save(ckpt, path)
+
+
 def overlay_params(init_variables, partial_variables):
     """Merge a (possibly partial) converted tree over freshly-initialized
     params: checkpoint values win where present, init values fill the rest.

@@ -35,18 +35,19 @@ class TestArchString:
         assert model.landscape_only is False
 
 
-class TestTorchConversion:
-    @pytest.fixture(scope="class")
-    def converted(self):
-        torch.manual_seed(0)
-        tmodel = TorchDust3R(**TINY).eval()
-        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
-        variables = convert_torch_state_dict(sd, enc_depth=2, dec_depth=2,
-                                             head_type="linear")
-        jmodel = AsymmetricCroCo3DStereo(
-            img_size=(32, 32), head_type="linear", attn_impl="ref", **TINY)
-        return tmodel, jmodel, variables
+@pytest.fixture(scope="module")
+def converted():
+    torch.manual_seed(0)
+    tmodel = TorchDust3R(**TINY).eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_torch_state_dict(sd, enc_depth=2, dec_depth=2,
+                                         head_type="linear")
+    jmodel = AsymmetricCroCo3DStereo(
+        img_size=(32, 32), head_type="linear", attn_impl="ref", **TINY)
+    return tmodel, jmodel, variables
 
+
+class TestTorchConversion:
     def test_full_forward_parity(self, converted):
         """Independent torch implementation vs JAX model through the
         converter: outputs must match to float tolerance."""
@@ -156,6 +157,55 @@ class TestTorchConversion:
         got_paths = {jax.tree_util.keystr(p): v.shape for p, v in
                      jax.tree_util.tree_flatten_with_path(variables)[0]}
         assert ref_paths == got_paths
+
+
+class TestReverseConversion:
+    def test_torch_roundtrip_linear(self, converted):
+        """torch sd -> flax -> torch sd must be bit-exact."""
+        from dust3r_tpu.checkpoint import to_torch_state_dict
+        tmodel, jmodel, variables = converted
+        orig = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+        back = to_torch_state_dict(variables, enc_depth=2, dec_depth=2,
+                                   head_type="linear")
+        assert set(back) == set(orig)
+        for k in orig:
+            np.testing.assert_array_equal(back[k], orig[k], err_msg=k)
+
+    def test_torch_roundtrip_dpt(self):
+        from dust3r_tpu.checkpoint import to_torch_state_dict
+        torch.manual_seed(3)
+        cfg = dict(TINY, dec_depth=12)
+        tmodel = TorchDust3R(head_type="dpt", **cfg).eval()
+        orig = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+        variables = convert_torch_state_dict(orig, enc_depth=2, dec_depth=12,
+                                             head_type="dpt")
+        back = to_torch_state_dict(variables, enc_depth=2, dec_depth=12,
+                                   head_type="dpt")
+        # forward converter accepts both layer_rn namings; inverse emits
+        # the layer{k}_rn one - compare values modulo that aliasing
+        def canon(k):
+            import re
+            return re.sub(r"scratch\.layer_rn\.(\d+)",
+                          lambda m: f"scratch.layer{int(m.group(1)) + 1}_rn",
+                          k)
+        orig_c = {canon(k): v for k, v in orig.items()}
+        assert set(back) == set(orig_c)
+        for k in back:
+            np.testing.assert_array_equal(back[k], orig_c[k], err_msg=k)
+
+    def test_save_torch_checkpoint_loads_back(self, converted, tmp_path):
+        """save_torch_checkpoint output loads through load_torch_checkpoint
+        and reproduces the model outputs."""
+        from dust3r_tpu.checkpoint import (save_torch_checkpoint,
+                                           load_torch_checkpoint)
+        tmodel, jmodel, variables = converted
+        p = str(tmp_path / "export.pth")
+        save_torch_checkpoint(p, jmodel, variables)
+        model2, vars2 = load_torch_checkpoint(p, verbose=False)
+        assert model2.enc_depth == jmodel.enc_depth
+        assert model2.head_type == "linear"
+        for a, b in zip(jax.tree.leaves(vars2), jax.tree.leaves(variables)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestOrbax:
