@@ -346,7 +346,11 @@ class BasePCOptimizer:
     def mask_sky(self):
         from ..viz import segment_sky
 
-        res = copy.deepcopy(self)
+        # shallow copy + fresh conf maps only: the reference mutates just
+        # im_conf; deep-copying would duplicate the stacked device buffers
+        # (hundreds of MB) on every demo slider toggle.
+        res = copy.copy(self)
+        res.im_conf = [np.array(c, copy=True) for c in self.im_conf]
         for i in range(self.n_imgs):
             sky = segment_sky(self.imgs[i])
             res.im_conf[i] = np.where(sky, 0.0, res.im_conf[i])

@@ -260,7 +260,7 @@ class ModularPointCloudOptimizer(PointCloudOptimizer):
     freezing via gradient masks, so this subclass only preserves the
     reference's preset semantics differences: presets don't require ALL
     images to be covered, and norm_pw_scale follows the known-pose count.
-    (fx != fy is not yet supported.)
+    fx != fy is supported via fx_and_fy=True (two focals per image).
     """
 
     def __init__(self, *args, optimize_pp=False, fx_and_fy=False,

@@ -101,34 +101,63 @@ class DataLoader:
 
     def __iter__(self):
         batches = list(self._index_batches())
-        if self.num_workers <= 0:
+        if self.num_workers <= 0 or not batches:
             for chunk in batches:
                 yield self.collate_fn([self.dataset[i] for i in chunk])
             return
 
-        q = queue.Queue(maxsize=self.prefetch)
+        # num_workers threads pull index batches from a shared queue; a
+        # reorder buffer preserves batch order; a semaphore bounds how far
+        # workers run ahead of the consumer (prefetch depth).
+        n_workers = min(self.num_workers, len(batches))
+        tasks = queue.Queue()
+        for seq, chunk in enumerate(batches):
+            tasks.put((seq, chunk))
+        results = {}
+        errors = []
+        cond = threading.Condition()
         stop = threading.Event()
+        budget = threading.Semaphore(max(self.prefetch, n_workers))
 
         def worker():
-            try:
-                for chunk in batches:
-                    if stop.is_set():
-                        break
-                    samples = [self.dataset[i] for i in chunk]
-                    q.put(self.collate_fn(samples))
-            finally:
-                q.put(None)
+            while not stop.is_set():
+                try:
+                    seq, chunk = tasks.get_nowait()
+                except queue.Empty:
+                    return
+                budget.acquire()
+                if stop.is_set():
+                    budget.release()
+                    return
+                try:
+                    out = self.collate_fn([self.dataset[i] for i in chunk])
+                except BaseException as e:  # propagate to consumer
+                    with cond:
+                        errors.append(e)
+                        cond.notify_all()
+                    return
+                with cond:
+                    results[seq] = out
+                    cond.notify_all()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
+            for seq in range(len(batches)):
+                with cond:
+                    while seq not in results and not errors:
+                        cond.wait()
+                    if errors:
+                        raise errors[0]
+                    item = results.pop(seq)
+                budget.release()
                 yield item
         finally:
             stop.set()
+            for _ in threads:  # unblock workers parked on the semaphore
+                budget.release()
 
 
 def get_data_loader(dataset, batch_size, num_workers=4, shuffle=True,

@@ -52,8 +52,9 @@ class _IndexMapped(EasyDataset):
 
     @property
     def _resolutions(self):
-        child, _ = self._route(0)
-        return child._resolutions
+        # direct child access (not _route): ResizedDataset can't route
+        # before set_epoch, but make_sampler needs the pool at build time
+        return self.dataset._resolutions
 
 
 class MulDataset(_IndexMapped):

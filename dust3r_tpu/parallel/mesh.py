@@ -31,7 +31,9 @@ def make_mesh(n_data=None, n_fsdp=1, n_model=1, devices=None):
     if n_data is None:
         n_data = n_total // (n_fsdp * n_model)
     n_used = n_data * n_fsdp * n_model
-    assert n_used <= n_total
+    assert n_used <= n_total, (
+        f"mesh data={n_data} x fsdp={n_fsdp} x model={n_model} needs "
+        f"{n_used} devices but only {n_total} are visible")
     dev = np.asarray(devices[:n_used]).reshape(n_data, n_fsdp, n_model)
     return Mesh(dev, ("data", "fsdp", "model"))
 
@@ -105,7 +107,26 @@ def shard_params(mesh, params):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def shard_batch(mesh, batch):
-    """Place a host batch onto the mesh, batch axis over 'data'."""
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+def shard_batch(mesh, batch, batch_axis=0):
+    """Place a host batch onto the mesh, `batch_axis` sharded over 'data'.
+
+    batch_axis=1 serves gradient-accumulation batches shaped
+    (accum_iter, B, ...) where the leading axis is scanned, not sharded.
+    """
+    def put(x):
+        spec = [None] * np.ndim(x)
+        spec[batch_axis] = "data"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(put, batch)
+
+
+def batch_constraint(mesh, batch, batch_axis=0):
+    """with_sharding_constraint counterpart of shard_batch (inside jit)."""
+    def cons(x):
+        spec = [None] * x.ndim
+        spec[batch_axis] = "data"
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(cons, batch)

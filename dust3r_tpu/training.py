@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .parallel.mesh import (make_mesh, batch_sharding, param_shardings,
-                            replicated, shard_batch)
+from .parallel.mesh import (make_mesh, batch_sharding, batch_constraint,
+                            param_shardings, replicated, shard_batch)
 
 
 # ---------------------------------------------------------------------- #
@@ -103,10 +103,11 @@ def build_train_step(model, criterion, spec: TrainSpec, mesh=None):
     """Create the jitted (optionally mesh-sharded) training step.
 
     Returns step_fn(state, batch, epoch_f) -> (state, metrics). With a mesh,
-    parameters are sharded per param_shardings and the batch over 'data';
-    XLA emits the gradient all-reduce (replacing DDP, SURVEY.md §2.9).
-    Gradient accumulation runs as a lax.scan over `accum_iter` micro-batches
-    (batch leading dim = accum_iter).
+    sharding constraints pin the params to param_shardings and the batch
+    axis to 'data'; XLA emits the gradient all-reduce (replacing DDP,
+    SURVEY.md §2.9). Gradient accumulation runs as a lax.scan over
+    `accum_iter` micro-batches (batch leading dim = accum_iter; use
+    stack_accum_batches to assemble it from loader batches).
     """
     opt = make_optimizer(spec)
     from .utils.misc import freeze_mask
@@ -118,6 +119,12 @@ def build_train_step(model, criterion, spec: TrainSpec, mesh=None):
 
     def step_fn(state, batch, epoch_f):
         params = state["params"]
+        if mesh is not None:
+            batch = batch_constraint(mesh, batch,
+                                     batch_axis=1 if spec.accum_iter > 1
+                                     else 0)
+            params = jax.tree.map(jax.lax.with_sharding_constraint, params,
+                                  param_shardings(mesh, params))
 
         if spec.accum_iter > 1:
             def micro(carry, mb):
@@ -218,6 +225,31 @@ class SmoothedValue:
     def value(self):
         return self.window[-1] if self.window else 0.0
 
+    def synchronize_between_processes(self):
+        """Merge this meter across JAX processes (croco SmoothedValue
+        parity, reference training.py:336): count/total are summed and the
+        windows are pooled so window median/avg are also global (the
+        reference only syncs count/total; pooling makes checkpoint-best's
+        loss_med rank-independent). No-op single-process."""
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        ct = multihost_utils.process_allgather(
+            np.asarray([self.count, self.total], np.float64))
+        self.count = int(ct[:, 0].sum())
+        self.total = float(ct[:, 1].sum())
+        lens = multihost_utils.process_allgather(
+            np.asarray(len(self.window), np.int64))
+        m = int(np.max(lens))
+        if m == 0:
+            return
+        buf = np.full(m, np.nan)
+        buf[:len(self.window)] = self.window
+        pooled = multihost_utils.process_allgather(buf).ravel()
+        pooled = pooled[~np.isnan(pooled)]
+        self.window = list(pooled[-self.window_size:])
+
     def __str__(self):
         return self.fmt.format(median=self.median, avg=self.avg,
                                global_avg=self.global_avg, value=self.value)
@@ -242,6 +274,11 @@ class MetricLogger:
         if attr in meters:
             return meters[attr]
         raise AttributeError(attr)
+
+    def synchronize_between_processes(self):
+        """Sync all meters across processes (croco MetricLogger parity)."""
+        for meter in self.meters.values():
+            meter.synchronize_between_processes()
 
     def __str__(self):
         return self.delimiter.join(
@@ -276,10 +313,29 @@ def make_batch_symmetric(view1, view2):
     return new1, new2
 
 
+_DEVICE_KEYS = ("img", "pts3d", "valid_mask", "camera_pose",
+                "camera_intrinsics")
+
+
 def _batch_to_device(view):
-    keep = ("img", "pts3d", "valid_mask", "camera_pose", "camera_intrinsics")
     return {k: jnp.asarray(np.ascontiguousarray(view[k]))
-            for k in keep if k in view}
+            for k in _DEVICE_KEYS if k in view}
+
+
+def stack_accum_batches(batches):
+    """Stack `accum_iter` loader batches [(view1, view2), ...] into the
+    (accum_iter, B, ...) layout build_train_step's lax.scan expects."""
+    if len(batches) == 1:
+        return (_batch_to_device(batches[0][0]),
+                _batch_to_device(batches[0][1]))
+
+    def stack(dicts):
+        return {k: jnp.asarray(np.stack([np.ascontiguousarray(d[k])
+                                         for d in dicts]))
+                for k in _DEVICE_KEYS if k in dicts[0]}
+
+    return (stack([v1 for v1, _ in batches]),
+            stack([v2 for _, v2 in batches]))
 
 
 def build_criterion(criterion_str):
@@ -311,33 +367,66 @@ def build_model(model_str, dtype=None, attn_impl=None, scan_layers=None,
     return model_from_arch_string(model_str, landscape_only=True, **overrides)
 
 
+def parse_mesh_arg(mesh_arg):
+    """'8' | '4,2' | '2,2,2' -> (n_data, n_fsdp, n_model); 'auto' -> all
+    visible devices on the data axis. Returns None for empty/unset."""
+    if not mesh_arg:
+        return None
+    if mesh_arg == "auto":
+        return (jax.device_count(), 1, 1)
+    dims = [int(x) for x in str(mesh_arg).split(",")]
+    dims += [1] * (3 - len(dims))
+    return tuple(dims[:3])
+
+
 def train(args):
     """Full training job: datasets, model, epochs, eval, checkpoints.
 
     args: argparse.Namespace from train.py's get_args_parser().
+    Multi-chip: `--mesh data[,fsdp[,model]]` builds a jax.sharding.Mesh and
+    shards params/batches over it (DDP/FSDP/TP equivalent of reference
+    training.py:152-155); multi-host runs call jax.distributed.initialize
+    via env vars (parallel/distributed.py) before building the mesh.
     """
     import json as _json
     from .datasets import get_data_loader
     from .checkpoint import save_checkpoint, load_checkpoint
+    from .parallel.distributed import init_distributed_mode, get_rank, \
+        get_world_size
+    from .parallel.mesh import make_mesh, shard_params
 
     os.makedirs(args.output_dir, exist_ok=True)
-    world_size = getattr(args, "world_size", 1)
-    rank = 0
+    init_distributed_mode()  # no-op unless JAX_COORDINATOR_ADDRESS is set
+    n_procs = get_world_size()  # JAX processes (hosts), not devices
+    rank = get_rank()
+
+    mesh = None
+    mesh_dims = parse_mesh_arg(getattr(args, "mesh", ""))
+    if mesh_dims is not None:
+        n_data, n_fsdp, n_model = mesh_dims
+        mesh = make_mesh(n_data=n_data, n_fsdp=n_fsdp, n_model=n_model)
+        print(f"mesh: data={n_data} fsdp={n_fsdp} model={n_model}")
+    n_data = mesh.shape["data"] if mesh is not None else 1
 
     print("output_dir: " + args.output_dir)
     np.random.seed(args.seed + rank)
 
+    # args.batch_size is per data-parallel shard (reference: per GPU); each
+    # process loads the batch for its local share of the data axis.
+    assert n_data % n_procs == 0, (n_data, n_procs)
+    loader_bs = args.batch_size * (n_data // n_procs)
+
     print(f"Building train dataset {args.train_dataset}")
     loader_train = get_data_loader(args.train_dataset,
-                                   batch_size=args.batch_size,
+                                   batch_size=loader_bs,
                                    num_workers=args.num_workers,
-                                   world_size=world_size, rank=rank)
+                                   world_size=n_procs, rank=rank)
     loaders_test = {}
     if args.test_dataset and args.test_dataset != "[None]":
         for dataset in args.test_dataset.split("+"):
             name = dataset.split("(")[0].strip()
             loaders_test[name] = get_data_loader(
-                dataset, batch_size=args.batch_size,
+                dataset, batch_size=loader_bs,
                 num_workers=args.num_workers, shuffle=False, drop_last=False)
 
     print(f"Loading model: {args.model}")
@@ -350,7 +439,9 @@ def train(args):
     test_criterion = build_criterion(args.test_criterion
                                      or args.train_criterion)
 
-    eff_batch_size = args.batch_size * args.accum_iter * world_size
+    # reference lr rule: blr * eff_bs / 256, eff_bs over all data-parallel
+    # shards (reference training.py:144-147, world_size = #GPUs = n_data)
+    eff_batch_size = args.batch_size * args.accum_iter * n_data
     if args.lr is None:
         args.lr = args.blr * eff_batch_size / 256
     print(f"actual lr: {args.lr:.2e}  effective batch size: {eff_batch_size}")
@@ -379,6 +470,8 @@ def train(args):
     elif model.scan_layers:
         params = stack_scan_params(params, model.enc_depth, model.dec_depth)
 
+    if mesh is not None:
+        params = shard_params(mesh, params)
     state = init_train_state(params, spec)
     start_epoch = 0
     best_so_far = float("inf")
@@ -392,7 +485,7 @@ def train(args):
             start_epoch = meta.get("epoch", -1) + 1
             best_so_far = meta.get("best_so_far", float("inf"))
 
-    step_fn = build_train_step(model, train_criterion, spec)
+    step_fn = build_train_step(model, train_criterion, spec, mesh=mesh)
 
     # TensorBoard scalars under the reference's epoch_1000x x-axis
     # (training.py:186,321-333); gated optional dep.
@@ -435,7 +528,7 @@ def train(args):
                 stats = test_one_epoch(model, state["params"], test_criterion,
                                        loader, epoch,
                                        print_freq=args.print_freq,
-                                       prefix=name)
+                                       prefix=name, mesh=mesh)
                 test_stats[name] = stats
                 if stats["loss_med"] < best_so_far:
                     best_so_far = stats["loss_med"]
@@ -453,49 +546,69 @@ def train(args):
 
         state, train_stats = train_one_epoch(
             model, state, step_fn, loader_train, epoch, spec,
-            print_freq=args.print_freq, log_writer=log_writer)
+            print_freq=args.print_freq, log_writer=log_writer, mesh=mesh)
 
     print(f"Training time {time.time() - t_start:.0f}s")
     save_model(args.epochs, "final", best_so_far)
     return state
 
 
+def _grouped(iterable, n):
+    """Yield lists of n consecutive items, dropping any short tail
+    (reference accum semantics: a partial accumulation group is skipped)."""
+    group = []
+    for item in iterable:
+        group.append(item)
+        if len(group) == n:
+            yield group
+            group = []
+
+
 def train_one_epoch(model, state, step_fn, data_loader, epoch, spec,
-                    print_freq=20, log_writer=None):
+                    print_freq=20, log_writer=None, mesh=None):
+    from .parallel.distributed import all_reduce_mean
+
     metric_logger = MetricLogger()
     header = f"Epoch: [{epoch}]"
     data_loader.set_epoch(epoch)
-    n_iters = len(data_loader)
+    n_iters = len(data_loader)  # loader batches (= optimizer steps x accum)
+    accum = spec.accum_iter
 
-    for i, batch in metric_logger.log_every(iter(data_loader), print_freq,
-                                            header):
-        epoch_f = epoch + i / max(n_iters, 1)
-        view1, view2 = batch
-        view1, view2 = make_batch_symmetric(view1, view2)
-        dev_batch = (_batch_to_device(view1), _batch_to_device(view2))
+    groups = _grouped(iter(data_loader), accum)
+    for i, group in metric_logger.log_every(groups, print_freq, header):
+        epoch_f = epoch + (i * accum) / max(n_iters, 1)
+        sym = [make_batch_symmetric(v1, v2) for v1, v2 in group]
+        dev_batch = stack_accum_batches(sym)
+        if mesh is not None:
+            dev_batch = shard_batch(mesh, dev_batch,
+                                    batch_axis=1 if accum > 1 else 0)
         state, metrics = step_fn(state, dev_batch, jnp.asarray(epoch_f))
 
         loss_value = float(metrics["loss"])
         check_finite_or_die(loss_value)
+        # cross-process mean for logging (reference training.py:322)
+        loss_value_reduce = all_reduce_mean(loss_value)
         host_metrics = {k: float(v) for k, v in metrics.items()
                         if np.ndim(v) == 0}
         metric_logger.update(epoch=epoch_f, **host_metrics)
 
         if log_writer is not None and print_freq and i % print_freq == 0:
             epoch_1000x = int(epoch_f * 1000)
-            log_writer.add_scalar("train_loss", loss_value, epoch_1000x)
+            log_writer.add_scalar("train_loss", loss_value_reduce,
+                                  epoch_1000x)
             log_writer.add_scalar("train_lr", host_metrics.get("lr", 0.0),
                                   epoch_1000x)
             for name, val in host_metrics.items():
                 if name not in ("loss", "lr", "epoch"):
                     log_writer.add_scalar("train_" + name, val, epoch_1000x)
 
+    metric_logger.synchronize_between_processes()
     print("Averaged stats:", metric_logger)
     return state, {k: m.global_avg for k, m in metric_logger.meters.items()}
 
 
 def test_one_epoch(model, params, criterion, data_loader, epoch,
-                   print_freq=20, prefix="test"):
+                   print_freq=20, prefix="test", mesh=None):
     # test meters keep the whole epoch in window (median over everything,
     # reference test_one_epoch's window_size=9**9)
     metric_logger = MetricLogger(window_size=10 ** 9)
@@ -504,6 +617,8 @@ def test_one_epoch(model, params, criterion, data_loader, epoch,
 
     @jax.jit
     def eval_step(params, batch):
+        if mesh is not None:
+            batch = batch_constraint(mesh, batch)
         (loss, details), _ = loss_of_one_batch(model, params, criterion, batch)
         return loss, details
 
@@ -512,10 +627,15 @@ def test_one_epoch(model, params, criterion, data_loader, epoch,
         view1, view2 = batch
         view1, view2 = make_batch_symmetric(view1, view2)
         dev_batch = (_batch_to_device(view1), _batch_to_device(view2))
+        if mesh is not None:
+            dev_batch = shard_batch(mesh, dev_batch)
         loss, details = eval_step(params, dev_batch)
         host = {k: float(v) for k, v in details.items() if np.ndim(v) == 0}
         metric_logger.update(loss=float(loss), **host)
 
+    # global medians/averages across processes -> checkpoint-best selection
+    # is rank-independent (reference training.py:336)
+    metric_logger.synchronize_between_processes()
     print("Averaged stats:", metric_logger)
     aggs = [("avg", "global_avg"), ("med", "median")]
     return {f"{k}_{tag}": getattr(m, attr)

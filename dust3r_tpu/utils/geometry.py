@@ -292,7 +292,12 @@ def normalize_pointcloud(pts1, pts2=None, norm_mode="avg_dis", valid1=None,
 
 
 def get_joint_pointcloud_depth(z1, z2, valid_mask1, valid_mask2=None, quantile=0.5):
-    """Joint (masked) median/quantile of depth across two views (B,)."""
+    """Joint (masked) median/quantile of depth across two views (B,).
+
+    Non-differentiable by contract: the reference wraps this in
+    @torch.no_grad() (reference dust3r/utils/geometry.py), so the
+    shift/scale statistics act as constants in Regr3D_*Inv losses.
+    """
     B = z1.shape[0]
     _z1, m1 = z1.reshape(B, -1), (valid_mask1.reshape(B, -1) if valid_mask1 is not None
                                   else jnp.ones((B, z1[0].size), bool))
@@ -305,13 +310,19 @@ def get_joint_pointcloud_depth(z1, z2, valid_mask1, valid_mask2=None, quantile=0
     else:
         _z, m = _z1, m1
     if quantile == 0.5:
-        return masked_median(_z, m, axis=-1)
-    return masked_quantile(_z, m, quantile, axis=-1)
+        out = masked_median(_z, m, axis=-1)
+    else:
+        out = masked_quantile(_z, m, quantile, axis=-1)
+    return jax.lax.stop_gradient(out)
 
 
 def get_joint_pointcloud_center_scale(pts1, pts2=None, valid_mask1=None,
                                       valid_mask2=None, z_only=False, center=True):
-    """Median center (B,1,1,3) + median-dist scale (B,1,1,1) of joint cloud."""
+    """Median center (B,1,1,3) + median-dist scale (B,1,1,1) of joint cloud.
+
+    Non-differentiable by contract (reference wraps in @torch.no_grad());
+    see get_joint_pointcloud_depth.
+    """
     flat1, m1 = _flatten_pts(pts1, valid_mask1)
     if pts2 is not None:
         flat2, m2 = _flatten_pts(pts2, valid_mask2)
@@ -326,7 +337,8 @@ def get_joint_pointcloud_center_scale(pts1, pts2=None, valid_mask1=None,
     ref = (_pts - _center) if center else _pts
     _norm = jnp.linalg.norm(ref, axis=-1)
     scale = masked_median(_norm, m, axis=1)
-    return _center[:, None, :, :], scale[:, None, None, None]
+    return (jax.lax.stop_gradient(_center[:, None, :, :]),
+            jax.lax.stop_gradient(scale[:, None, None, None]))
 
 
 # ---------------------------------------------------------------------------

@@ -157,6 +157,30 @@ class TestDataLoader:
         # batch is AR-uniform
         assert len({tuple(s) for s in v1["true_shape"]}) <= 2  # l/p of same bucket
 
+    def test_loader_multiworker_order_matches_serial(self):
+        """num_workers>1 threads must preserve batch order (reorder buffer)
+        and yield identical batches to the serial path."""
+        ds = SyntheticViews(n=16, resolution=(64, 48), seed=5)
+        serial = get_data_loader(ds, batch_size=4, num_workers=0)
+        parallel = get_data_loader(ds, batch_size=4, num_workers=4)
+        serial.set_epoch(2)
+        parallel.set_epoch(2)
+        for (s1, s2), (p1, p2) in zip(serial, parallel):
+            np.testing.assert_array_equal(s1["img"], p1["img"])
+            np.testing.assert_array_equal(s2["img"], p2["img"])
+            assert s1["instance"] == p1["instance"]
+
+    def test_loader_worker_exception_propagates(self):
+        class Broken(SyntheticViews):
+            def __getitem__(self, idx):
+                raise RuntimeError("boom")
+
+        ds = Broken(n=8, resolution=(64, 48), seed=5)
+        loader = get_data_loader(ds, batch_size=4, num_workers=2)
+        loader.set_epoch(0)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
+
     def test_loader_epoch_determinism(self):
         ds = SyntheticViews(n=8, resolution=(64, 48), seed=9)
         loader = get_data_loader(ds, batch_size=4, num_workers=0)

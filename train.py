@@ -39,7 +39,13 @@ def get_args_parser():
                         help="rematerialize block activations in the backward"
                              " pass (fits B=16@224 on a 16G chip)")
     parser.add_argument("--num_workers", default=8, type=int)
-    parser.add_argument("--world_size", default=1, type=int)
+    parser.add_argument("--mesh", default="", type=str,
+                        help="device mesh 'data[,fsdp[,model]]' (e.g. '8', "
+                             "'4,2', '2,2,2') or 'auto' (all devices on the "
+                             "data axis); empty = single device")
+    parser.add_argument("--world_size", default=1, type=int,
+                        help="deprecated; process count comes from "
+                             "jax.distributed (JAX_NUM_PROCESSES)")
     parser.add_argument("--eval_freq", type=int, default=1)
     parser.add_argument("--save_freq", default=1, type=int)
     parser.add_argument("--keep_freq", default=20, type=int)
