@@ -7,7 +7,8 @@ SURVEY.md §1/L0; call contracts at reference dust3r/model.py:136-137,180-186).
 Conventions:
   * tokens are (B, N, C); per-token integer positions are (B, N, 2) = (y, x)
   * LayerNorm eps 1e-6, computed in fp32
-  * GELU is exact (erf-based), matching torch.nn.GELU
+  * GELU matches torch.nn.GELU (exact erf) at fp32 compute; bf16 compute
+    uses the tanh form (error below bf16 rounding - see gelu())
   * qkv is one fused projection in self-attention; cross-attention has
     separate q/k/v projections (torch-name-compatible: projq/projk/projv)
   * `dtype` is the compute dtype (bf16 on TPU); params always fp32
@@ -24,6 +25,22 @@ from ..ops.attention import attention
 
 
 def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def gelu(x):
+    """GELU at a precision matched to the compute dtype.
+
+    torch.nn.GELU (the reference, croco blocks) is the exact erf form; we
+    keep that for fp32 compute. Under bf16 compute the exact erf costs
+    0.56 ms/layer on the v5e VPU - more than both MLP GEMMs (peak-rate,
+    scripts/exp_gelu_r2.py) - while the tanh approximation costs 0.086 ms
+    and differs by at most 5e-4, an order of magnitude BELOW the 3.1e-2
+    rounding already introduced by casting the activations to bf16. So the
+    tanh form is numerically free where it applies and exact elsewhere.
+    """
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -47,7 +64,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = gelu_exact(x)
+        x = gelu(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 

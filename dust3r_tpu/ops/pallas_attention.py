@@ -3,9 +3,23 @@
 Replaces the reference's curope CUDA extension + separate attention matmuls
 (SURVEY.md §2.10). DUSt3R sequences are short (<= ~1200 tokens at 512
 resolutions, patch 16), so the right TPU design is NOT long-seq flash
-tiling: one grid program per (batch, head) keeps q/k/v AND the full logits
-tile resident in VMEM, fusing RoPE application, q.k^T, softmax and P.v into
-a single kernel - the (N, N) attention matrix never touches HBM.
+tiling: each grid program keeps q/k/v AND the full logits tiles resident in
+VMEM, fusing RoPE application, q.k^T, softmax and P.v into a single kernel
+- the (N, N) attention matrix never touches HBM.
+
+Round-2 design (measured in-graph on v5e, scripts/exp_attn_r2.py; the
+round-1 numbers were inflated ~4x by per-dispatch tunnel overhead):
+
+  * G heads per grid program, STATICALLY unrolled (python loop over
+    constant indices - no dynamic VMEM indexing, so Mosaic compile time
+    stays ~2.5s/instance) and phase-ordered (all q.k^T, all softmaxes,
+    all P.v) so the scheduler overlaps MXU and VPU across heads.
+  * the softmax row-sum is folded into the P.v matmul: v is padded to 128
+    lanes with a ones-column, so one MXU pass yields [P@v | rowsum(P)] and
+    the VPU sum pass over the (N, N) matrix disappears. d=64 only fills
+    half the MXU output lanes anyway - the ones-column rides for free.
+  * (16,16,768,64) bf16 w/ RoPE: 0.244 ms = 158 TF/s (80% of bf16 peak),
+    vs 0.57 ms for the 1-head/program round-1 kernel and 0.51 ms for XLA.
 
 RoPE convention (croco RoPE100): head_dim split in two halves (y | x);
 each half rotated by its coordinate's frequencies with rotate-half pairing.
@@ -28,6 +42,10 @@ from .rope import rope_cos_sin
 # CPU test suite to exercise the kernel math without a TPU
 _INTERPRET = bool(os.environ.get("DUST3R_TPU_PALLAS_INTERPRET"))
 
+# VMEM budget for the per-program fp32 logits tiles; G is chosen so
+# G * Nq * Nk * 4 bytes stays under this (16 MB total VMEM per core).
+_LOGITS_VMEM_BUDGET = 10 * 1024 * 1024
+
 
 def _rope_tables(positions, head_dim, base):
     """cos/sin of shape (B, N, head_dim), halves laid out [y | x]."""
@@ -48,115 +66,69 @@ def _apply_rope_tile(t, cos, sin):
     return t * cos + rot * sin
 
 
-def _attn_kernel_multihead(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref,
-                           sk_ref, o_ref, *, scale, use_rope, n_heads):
-    """G heads per grid program: amortizes per-program latency over
-    several (small) per-head matmuls. Refs are (G, N, d)."""
+def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
+                 *, scale, use_rope, n_heads, fold_sum):
+    """G statically-unrolled heads per program, phase-ordered.
+
+    RoPE is applied in fp32 for accuracy, but the matmuls MUST run on bf16
+    inputs (fp32 MXU matmul decomposes into ~6 bf16 passes); accumulation
+    stays fp32 via preferred_element_type.
+    """
     in_dtype = q_ref.dtype
+    G = n_heads
+    d = q_ref.shape[-1]
+    Nk = k_ref.shape[1]
     if use_rope:
         cq, sq = cq_ref[0], sq_ref[0]
         ck, sk = ck_ref[0], sk_ref[0]
 
-    def body(h, _):
+    ss = []
+    for h in range(G):  # phase 1: all q.k^T on the MXU
         q = q_ref[h].astype(jnp.float32)
         k = k_ref[h].astype(jnp.float32)
         if use_rope:
-            q2 = _apply_rope_tile(q, cq, sq)
-            k2 = _apply_rope_tile(k, ck, sk)
+            q = _apply_rope_tile(q, cq, sq)
+            k = _apply_rope_tile(k, ck, sk)
+        q = (q * scale).astype(in_dtype)
+        k = k.astype(in_dtype)
+        ss.append(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+
+    ps, ls = [], []
+    for h in range(G):  # phase 2: all softmaxes on the VPU
+        m = jnp.max(ss[h], axis=-1, keepdims=True)
+        p = jnp.exp(ss[h] - m)
+        if not fold_sum:
+            ls.append(jnp.sum(p, axis=-1, keepdims=True))
+        ps.append(p)
+
+    for h in range(G):  # phase 3: all P.v on the MXU
+        if fold_sum:
+            # v padded to 128 lanes with a ones-column: one matmul yields
+            # [P@v | rowsum(P)]; skips the VPU sum pass over (N, N)
+            v_aug = jnp.concatenate(
+                [v_ref[h].astype(jnp.float32),
+                 jnp.ones((Nk, 128 - d), jnp.float32)], axis=-1)
+            o_aug = jnp.dot(ps[h].astype(in_dtype), v_aug.astype(in_dtype),
+                            preferred_element_type=jnp.float32)
+            o_ref[h] = (o_aug[:, :d] / o_aug[:, d:d + 1]).astype(o_ref.dtype)
         else:
-            q2, k2 = q, k
-        q2 = (q2 * scale).astype(in_dtype)
-        k2 = k2.astype(in_dtype)
-        s = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        # normalize the (N, d) output rather than the (N, N) matrix:
-        # one fewer full pass over the attention matrix on the VPU
-        o = jnp.dot(p.astype(v_ref.dtype), v_ref[h],
-                    preferred_element_type=jnp.float32)
-        o_ref[h] = (o / l).astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_heads, body, 0)
+            o = jnp.dot(ps[h].astype(in_dtype), v_ref[h],
+                        preferred_element_type=jnp.float32)
+            o_ref[h] = (o / ls[h]).astype(o_ref.dtype)
 
 
-def _fused_attention_simple(q, k, v, cq, sq, ck, sk, use_rope):
-    """One (batch, head) per grid program - the fast-compiling default."""
-    B, H, Nq, d = q.shape
-    Nk = k.shape[2]
-    qf = q.reshape(B * H, Nq, d)
-    kf = k.reshape(B * H, Nk, d)
-    vf = v.reshape(B * H, Nk, d)
-    Ncq = cq.shape[1]
-    Nck = ck.shape[1]
-    kernel = functools.partial(_attn_kernel, scale=d ** -0.5,
-                               use_rope=use_rope)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B * H,),
-        in_specs=[
-            pl.BlockSpec((1, Nq, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nk, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nk, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ncq, d), lambda i, H=H: (i // H, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ncq, d), lambda i, H=H: (i // H, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nck, d), lambda i, H=H: (i // H, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nck, d), lambda i, H=H: (i // H, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Nq, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Nq, d), v.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * (Nq * Nk * d * 2),
-            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
-            transcendentals=B * H * Nq * Nk,
-        ),
-        interpret=_INTERPRET,
-    )(qf, kf, vf, cq, sq, ck, sk)
-    return out.reshape(B, H, Nq, d)
-
-
-def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
-                 *, scale, use_rope):
-    # RoPE is applied in fp32 for accuracy, but the matmuls MUST run on
-    # bf16 inputs (fp32 MXU matmul decomposes into ~6 bf16 passes);
-    # accumulation stays fp32 via preferred_element_type.
-    in_dtype = q_ref.dtype
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
-    if use_rope:
-        q = _apply_rope_tile(q, cq_ref[0], sq_ref[0])
-        k = _apply_rope_tile(k, ck_ref[0], sk_ref[0])
-    q = (q * scale).astype(in_dtype)
-    k = k.astype(in_dtype)
-    s = jax.lax.dot_general(q, k,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (Nq, Nk)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    # normalize the (N, d) output rather than the (N, N) matrix:
-    # one fewer full pass over the attention matrix on the VPU
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+def _auto_heads_per_program(H, Nq, Nk):
+    """Largest divisor of H whose fp32 logits tiles fit the VMEM budget."""
+    for G in (8, 4, 2, 1):
+        if H % G == 0 and G * Nq * Nk * 4 <= _LOGITS_VMEM_BUDGET:
+            return G
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("rope_base", "heads_per_program"))
 def fused_attention(q, k, v, positions_q=None, positions_k=None,
-                    rope_base=100.0, heads_per_program=1):
-    # NOTE heads_per_program>1 amortizes grid overhead (~5% faster in
-    # isolation) but its dynamic VMEM indexing makes Mosaic compile each
-    # of the model's ~72 kernel instances far slower - keep G=1 default.
+                    rope_base=100.0, heads_per_program=None):
     """q,k,v: (B, H, N, d). positions: (B, N, 2) int or None (no RoPE)."""
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
@@ -169,24 +141,23 @@ def fused_attention(q, k, v, positions_q=None, positions_k=None,
         cq = sq = jnp.ones((B, 1, d), jnp.float32)
         ck = sk = jnp.ones((B, 1, d), jnp.float32)
 
-    G = heads_per_program
+    G = heads_per_program or _auto_heads_per_program(H, Nq, Nk)
     while H % G:
         G //= 2
-    if G == 1:
-        return _fused_attention_simple(q, k, v, cq, sq, ck, sk, use_rope)
+    fold_sum = d < 128
+
     qf = q.reshape(B * H, Nq, d)
     kf = k.reshape(B * H, Nk, d)
     vf = v.reshape(B * H, Nk, d)
-
     Ncq = cq.shape[1]
     Nck = ck.shape[1]
-    grid = (B * H // G,)
-    kernel = functools.partial(_attn_kernel_multihead, scale=d ** -0.5,
-                               use_rope=use_rope, n_heads=G)
     HG = H // G  # programs per batch entry
+    kernel = functools.partial(_attn_kernel, scale=d ** -0.5,
+                               use_rope=use_rope, n_heads=G,
+                               fold_sum=fold_sum)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(B * HG,),
         in_specs=[
             pl.BlockSpec((G, Nq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
