@@ -12,14 +12,20 @@ round-1 numbers were inflated ~4x by per-dispatch tunnel overhead):
 
   * G heads per grid program, STATICALLY unrolled (python loop over
     constant indices - no dynamic VMEM indexing, so Mosaic compile time
-    stays ~2.5s/instance) and phase-ordered (all q.k^T, all softmaxes,
-    all P.v) so the scheduler overlaps MXU and VPU across heads.
+    stays low) in two phases: per-head q.k^T + softmax (one fp32 logits
+    tile live at a time, probabilities accumulated in bf16 - they are
+    cast to bf16 before the P.v matmul anyway, so numerics are bitwise
+    identical), then all P.v matmuls. Keeping every head's fp32 logits
+    alive across a full phase (the first v2 layout) peaked at ~17 MB
+    scoped VMEM and failed to compile inside the full model
+    (scripts/exp_attn_vmem_r2.py); this layout peaks at ~8 MB and is
+    also slightly faster and 2.5x faster to Mosaic-compile.
   * the softmax row-sum is folded into the P.v matmul: v is padded to 128
     lanes with a ones-column, so one MXU pass yields [P@v | rowsum(P)] and
     the VPU sum pass over the (N, N) matrix disappears. d=64 only fills
     half the MXU output lanes anyway - the ones-column rides for free.
-  * (16,16,768,64) bf16 w/ RoPE: 0.244 ms = 158 TF/s (80% of bf16 peak),
-    vs 0.57 ms for the 1-head/program round-1 kernel and 0.51 ms for XLA.
+  * (16,16,768,64) bf16 w/ RoPE, in-graph marginal timing: 0.448 ms
+    (86 TF/s) vs 0.57 ms for the 1-head/program round-1 kernel.
 
 RoPE convention (croco RoPE100): head_dim split in two halves (y | x);
 each half rotated by its coordinate's frequencies with rotate-half pairing.
@@ -42,9 +48,15 @@ from .rope import rope_cos_sin
 # CPU test suite to exercise the kernel math without a TPU
 _INTERPRET = bool(os.environ.get("DUST3R_TPU_PALLAS_INTERPRET"))
 
-# VMEM budget for the per-program fp32 logits tiles; G is chosen so
-# G * Nq * Nk * 4 bytes stays under this (16 MB total VMEM per core).
-_LOGITS_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for the per-program softmax tiles. Live set per program:
+# G bf16 probability tiles + ONE fp32 logits tile (per-head softmax frees
+# each fp32 tile before the next q.k^T). Kept well under the 16 MB scoped
+# VMEM limit: inside the full-model program Mosaic does not reuse buffers
+# across the unrolled head loop (G=4 at 768 tokens allocates 17 MB of
+# stack and fails to compile there, while the same kernel standalone is
+# fine), and G=2 measures within 3% of G=4 anyway (scripts/test_g2 run,
+# 0.467 vs 0.455 ms at (16,16,768,64)).
+_LOGITS_VMEM_BUDGET = 6 * 1024 * 1024
 
 
 def _rope_tables(positions, head_dim, base):
@@ -82,8 +94,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
         cq, sq = cq_ref[0], sq_ref[0]
         ck, sk = ck_ref[0], sk_ref[0]
 
-    ss = []
-    for h in range(G):  # phase 1: all q.k^T on the MXU
+    ps, ls = [], []
+    for h in range(G):  # phase 1: per-head q.k^T + softmax, p stored bf16
         q = q_ref[h].astype(jnp.float32)
         k = k_ref[h].astype(jnp.float32)
         if use_rope:
@@ -91,37 +103,37 @@ def _attn_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
             k = _apply_rope_tile(k, ck, sk)
         q = (q * scale).astype(in_dtype)
         k = k.astype(in_dtype)
-        ss.append(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32))
-
-    ps, ls = [], []
-    for h in range(G):  # phase 2: all softmaxes on the VPU
-        m = jnp.max(ss[h], axis=-1, keepdims=True)
-        p = jnp.exp(ss[h] - m)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
         if not fold_sum:
             ls.append(jnp.sum(p, axis=-1, keepdims=True))
-        ps.append(p)
+        ps.append(p.astype(in_dtype))
 
-    for h in range(G):  # phase 3: all P.v on the MXU
+    for h in range(G):  # phase 2: all P.v on the MXU
         if fold_sum:
             # v padded to 128 lanes with a ones-column: one matmul yields
             # [P@v | rowsum(P)]; skips the VPU sum pass over (N, N)
             v_aug = jnp.concatenate(
                 [v_ref[h].astype(jnp.float32),
                  jnp.ones((Nk, 128 - d), jnp.float32)], axis=-1)
-            o_aug = jnp.dot(ps[h].astype(in_dtype), v_aug.astype(in_dtype),
+            o_aug = jnp.dot(ps[h], v_aug.astype(in_dtype),
                             preferred_element_type=jnp.float32)
             o_ref[h] = (o_aug[:, :d] / o_aug[:, d:d + 1]).astype(o_ref.dtype)
         else:
-            o = jnp.dot(ps[h].astype(in_dtype), v_ref[h],
+            o = jnp.dot(ps[h], v_ref[h],
                         preferred_element_type=jnp.float32)
             o_ref[h] = (o / ls[h]).astype(o_ref.dtype)
 
 
 def _auto_heads_per_program(H, Nq, Nk):
-    """Largest divisor of H whose fp32 logits tiles fit the VMEM budget."""
+    """Largest divisor of H whose softmax live set fits the VMEM budget.
+
+    Live set: G bf16 probability tiles + one fp32 logits tile (see
+    _attn_kernel phase structure)."""
     for G in (8, 4, 2, 1):
-        if H % G == 0 and G * Nq * Nk * 4 <= _LOGITS_VMEM_BUDGET:
+        if H % G == 0 and (G * 2 + 4) * Nq * Nk <= _LOGITS_VMEM_BUDGET:
             return G
     return 1
 
