@@ -76,11 +76,14 @@ def bench_pairs_per_sec(batch_size=8, H=384, W=512, iters=20, warmup=3):
     return pairs_per_sec
 
 
-def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300):
+def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
+                                graph="complete", dtypes=("fp32", "bf16")):
     """Global-alignment iterations/sec on a synthetic n-image scene.
 
     The torch reference runs its 300-iter Adam loop as a python loop
     (~15-30 it/s on GPU); here the whole loop is one lax.scan.
+    graph: 'complete' (N*(N-1) edges) or 'swin-k' (the demo's scalable
+    window graph) - large N scenes use swin exactly like the reference.
     """
     import numpy as np
     import jax.numpy as jnp
@@ -89,7 +92,15 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300):
     from dust3r_tpu.cloud_opt.optimizer import _run_alignment
 
     rng = np.random.default_rng(0)
-    edges = [(i, j) for i in range(n_imgs) for j in range(n_imgs) if i != j]
+    if graph == "complete":
+        edges = [(i, j) for i in range(n_imgs) for j in range(n_imgs)
+                 if i != j]
+    else:  # swin-k, symmetrized, noncyclic
+        k = int(graph.split("-")[1])
+        fwd = {(i, min(i + d, n_imgs - 1)) for i in range(n_imgs)
+               for d in range(1, k + 1)}
+        edges = sorted({e for i, j in fwd if i != j
+                        for e in ((i, j), (j, i))})
     E = len(edges)
     out = dict(
         view1=dict(idx=[i for i, j in edges]),
@@ -102,8 +113,8 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300):
     )
     lrs = make_lr_schedule("cosine", niter, 0.01, 1e-6)
     iters_per_sec = None
-    for obs_dtype, tag in [(jnp.float32, "fp32-obs"),
-                           (jnp.bfloat16, "bf16-obs")]:
+    all_dt = [(jnp.float32, "fp32-obs"), (jnp.bfloat16, "bf16-obs")]
+    for obs_dtype, tag in [d for d in all_dt if d[1][:4] in dtypes]:
         scene = global_aligner(out,
                                mode=GlobalAlignerMode.PointCloudOptimizer,
                                verbose=False, obs_dtype=obs_dtype)
@@ -120,7 +131,7 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300):
                                         dict(scene.consts))
         _ = float(losses[-1])
         dt = time.perf_counter() - t0
-        log(f"aligner[{tag}]: {n_imgs} imgs, {E} edges @ {H}x{W}: "
+        log(f"aligner[{tag}] {graph}: {n_imgs} imgs, {E} edges @ {H}x{W}: "
             f"{niter / dt:.1f} iters/s ({dt:.2f}s for {niter})")
         if iters_per_sec is None:
             iters_per_sec = niter / dt
@@ -182,12 +193,22 @@ def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8):
 def main():
     import jax
     log(f"devices: {jax.devices()}")
+    extras = {}
+    # aligner at the scales the demo actually sees (VERDICT r1 item 5):
+    # complete graphs at 10/25 images; 50 images uses the swin graph the
+    # reference recommends for large scenes (complete@50 = 2450 edges
+    # would need ~15 GB of observation tensors alone).
+    for n, graph, dtypes in ((10, "complete", ("fp32", "bf16")),
+                             (25, "complete", ("fp32",)),
+                             (50, "swin-3", ("fp32",))):
+        try:
+            it = bench_aligner_iters_per_sec(n_imgs=n, graph=graph,
+                                             dtypes=dtypes)
+            extras[f"aligner_iters_per_sec_n{n}"] = round(it, 1)
+        except Exception as e:
+            log(f"aligner bench n={n} failed: {type(e).__name__}: {e}")
     try:
-        bench_aligner_iters_per_sec()
-    except Exception as e:
-        log(f"aligner bench failed: {type(e).__name__}: {e}")
-    try:
-        bench_scene_graph()
+        extras["scene_graph_pairs_per_sec"] = round(bench_scene_graph(), 2)
     except Exception as e:
         log(f"scene-graph bench failed: {type(e).__name__}: {e}")
     value = None
@@ -199,13 +220,15 @@ def main():
             log(f"batch_size={bs} failed: {type(e).__name__}: {e}")
     if value is None:
         print(json.dumps({"metric": "pairs_per_sec_512dpt", "value": 0.0,
-                          "unit": "pairs/s/chip", "vs_baseline": 0.0}))
+                          "unit": "pairs/s/chip", "vs_baseline": 0.0,
+                          **extras}))
         return
     print(json.dumps({
         "metric": "pairs_per_sec_512dpt",
         "value": round(value, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / A100_REFERENCE_PAIRS_PER_SEC, 2),
+        **extras,
     }))
 
 

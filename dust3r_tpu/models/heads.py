@@ -167,9 +167,13 @@ class FeatureFusionBlock(nn.Module):
                                          name="resConfUnit1")(res)
         out = ResidualConvUnit(self.features, self.dtype,
                                name="resConfUnit2")(out)
-        out = upsample2x_align_corners(out)
+        # The reference applies out_conv AFTER the 2x upsample; a 1x1 conv
+        # commutes exactly with bilinear interpolation (pointwise channel
+        # mixing, and the interp rows form a partition of unity so the bias
+        # passes through too), so run it at the 4x-cheaper coarse resolution.
         out = nn.Conv(self.features, (1, 1), dtype=self.dtype,
                       name="out_conv")(out)
+        out = upsample2x_align_corners(out)
         return out
 
 
