@@ -204,6 +204,12 @@ def _dpt_head(sd, tree, t, f):
         _conv(sd, tree, rn_name(k), f + (f"layer{k}_rn",), bias=False)
         rf = f"{t}.dpt.scratch.refinenet{k}"
         for unit in ("resConfUnit1", "resConfUnit2"):
+            # refinenet4's resConfUnit1 is dead weight (its forward never
+            # receives a residual input): real torch checkpoints carry it,
+            # exports from a flax init don't - accept both
+            if f"{rf}.{unit}.conv1.weight" not in sd and k == 4 \
+                    and unit == "resConfUnit1":
+                continue
             for conv in ("conv1", "conv2"):
                 _conv(sd, tree, f"{rf}.{unit}.{conv}",
                       f + (f"refinenet{k}", unit, conv))
@@ -348,6 +354,12 @@ def to_torch_state_dict(variables, enc_depth=24, dec_depth=12,
                  bias=False)
             rf = f"{t}.dpt.scratch.refinenet{k}"
             for unit in ("resConfUnit1", "resConfUnit2"):
+                # refinenet4 takes no residual input, so its resConfUnit1
+                # is dead weight: torch checkpoints carry it, but a flax
+                # INIT tree never instantiates it (converted-from-torch
+                # trees do, and then it round-trips bit-exactly)
+                if unit not in params[f[0]][f"refinenet{k}"]:
+                    continue
                 for c in ("conv1", "conv2"):
                     conv(f"{rf}.{unit}.{c}", f + (f"refinenet{k}", unit, c))
             conv(f"{rf}.out_conv", f + (f"refinenet{k}", "out_conv"))

@@ -41,6 +41,14 @@ def _as_list(x, n):
     return [x[k] for k in range(n)]
 
 
+def _edge_onehot(indices, n_imgs, e_pad):
+    """(E_pad, n_imgs) 0/1 selector matrix; padded rows are all-zero (the
+    matching observation weights are zero too, so they contribute nothing)."""
+    oh = np.zeros((e_pad, n_imgs), np.float32)
+    oh[np.arange(len(indices)), np.asarray(indices)] = 1.0
+    return oh
+
+
 class BasePCOptimizer:
     """Graph of images (nodes) and pairwise predictions (edges).
 
@@ -63,11 +71,17 @@ class BasePCOptimizer:
                  seed=0,
                  verbose=True,
                  obs_dtype=jnp.float32,
+                 edge_chunk=128,
                  **_ignored):
         self.verbose = verbose
         # observation storage dtype: bf16 halves the HBM traffic of the
         # (memory-bound) alignment loop; distances are computed in fp32
         self.obs_dtype = obs_dtype
+        # above this many edges the loss scans rematerialized edge chunks
+        # instead of materializing (E, A, 3) intermediates: peak HBM stays
+        # O(edge_chunk * A) through forward AND backward, so complete graphs
+        # at 25+ images and swin graphs at 50+ fit a 16 GB chip
+        self.edge_chunk = edge_chunk
         self.min_conf_thr = min_conf_thr
         self.base_scale = base_scale
         self.pw_break = pw_break
@@ -112,18 +126,37 @@ class BasePCOptimizer:
         w_i = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_i]
         w_j = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_j]
         odt = self.obs_dtype
+        # when the edge axis will be scanned in chunks (E > edge_chunk), the
+        # stacked tensors are padded HERE to a chunk multiple with zero-weight
+        # edges, so the loss reshapes them for free instead of slicing (a
+        # slice+reshape before lax.scan forces XLA to copy gigabytes)
+        E_pad = E
+        if self.edge_chunk and E > self.edge_chunk:
+            E_pad = -(-E // self.edge_chunk) * self.edge_chunk
+        self._n_edges_pad = E_pad
+
+        def stack_pad(rows):
+            arr = np.stack([_ravel_pad(r, A) for r in rows])
+            if E_pad > E:
+                pad = np.zeros((E_pad - E,) + arr.shape[1:], arr.dtype)
+                arr = np.concatenate([arr, pad])
+            return arr
+
         self.consts = {
-            "stacked_pred_i": jnp.asarray(
-                np.stack([_ravel_pad(p, A) for p in pred_i]), odt),
-            "stacked_pred_j": jnp.asarray(
-                np.stack([_ravel_pad(p, A) for p in pred_j]), odt),
+            "stacked_pred_i": jnp.asarray(stack_pad(pred_i), odt),
+            "stacked_pred_j": jnp.asarray(stack_pad(pred_j), odt),
             # pre-transformed conf weights; padding has weight exactly 0
-            "weight_i": jnp.asarray(
-                np.stack([_ravel_pad(w, A) for w in w_i]), odt),
-            "weight_j": jnp.asarray(
-                np.stack([_ravel_pad(w, A) for w in w_j]), odt),
-            "ei": jnp.asarray([i for i, j in self.edges]),
-            "ej": jnp.asarray([j for i, j in self.edges]),
+            "weight_i": jnp.asarray(stack_pad(w_i), odt),
+            "weight_j": jnp.asarray(stack_pad(w_j), odt),
+            # one-hot edge->image selectors: the loss "gathers" each edge's
+            # image pointmap with a 0/1 matmul instead of indexed gather -
+            # the BACKWARD of a gather is a scatter-add, which the TPU runs
+            # ~2x slower than the pair of tiny matmuls (scripts history:
+            # 4.2 vs 2.0 ms/iter on the N=10 edge-gather gradient)
+            "onehot_i": jnp.asarray(_edge_onehot(
+                [i for i, j in self.edges], self.n_imgs, E_pad)),
+            "onehot_j": jnp.asarray(_edge_onehot(
+                [j for i, j in self.edges], self.n_imgs, E_pad)),
         }
         self.total_area_i = sum(im_areas[i] for i, j in self.edges)
         self.total_area_j = sum(im_areas[j] for i, j in self.edges)
@@ -303,16 +336,55 @@ class BasePCOptimizer:
         proj_pts3d = self.depth_to_pts3d(params, consts=c)  # (N, A, 3)
 
         f32 = jnp.float32
-        aligned_pred_i = geotrf(
-            pw_poses, pw_adapt * c["stacked_pred_i"].astype(f32))
-        aligned_pred_j = geotrf(
-            pw_poses, pw_adapt * c["stacked_pred_j"].astype(f32))
 
-        li = jnp.sum(self.dist(proj_pts3d[c["ei"]], aligned_pred_i,
-                               c["weight_i"].astype(f32))) / self.total_area_i
-        lj = jnp.sum(self.dist(proj_pts3d[c["ej"]], aligned_pred_j,
-                               c["weight_j"].astype(f32))) / self.total_area_j
-        return li + lj
+        def edge_terms(poses, adapt, pred_i, pred_j, w_i, w_j, oh_i, oh_j):
+            # "gather" each edge's image pointmap with an exact 0/1 matmul
+            # (precision=highest keeps the selection bit-exact); the
+            # backward is then a matmul too, instead of a TPU scatter-add
+            proj_i = jnp.einsum("en,nac->eac", oh_i, proj_pts3d,
+                                precision="highest")
+            proj_j = jnp.einsum("en,nac->eac", oh_j, proj_pts3d,
+                                precision="highest")
+            aligned_pred_i = geotrf(poses, adapt * pred_i.astype(f32))
+            aligned_pred_j = geotrf(poses, adapt * pred_j.astype(f32))
+            li = jnp.sum(self.dist(proj_i, aligned_pred_i, w_i.astype(f32)))
+            lj = jnp.sum(self.dist(proj_j, aligned_pred_j, w_j.astype(f32)))
+            return li, lj
+
+        E = pw_poses.shape[0]
+        chunk = self.edge_chunk
+        E_pad = getattr(self, "_n_edges_pad", E)
+        if chunk and E_pad > chunk:
+            # scan over rematerialized edge chunks: peak memory through
+            # forward + backward is O(chunk * A), not O(E * A). The stacked
+            # consts are stored pre-padded to E_pad with zero-weight edges;
+            # only the (tiny) pose/adaptor stacks are padded here. Padding
+            # poses with identities (NOT zeros: a zero quaternion would
+            # normalize to NaN upstream) keeps the padded terms finite, and
+            # their zero weights exclude them from the sums exactly.
+            K = E_pad // chunk
+            if E_pad > E:
+                eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
+                                       (E_pad - E, 4, 4))
+                pw_poses = jnp.concatenate([pw_poses, eye])
+                pw_adapt = jnp.concatenate(
+                    [pw_adapt, jnp.ones((E_pad - E, 1, 3), pw_adapt.dtype)])
+            xs = jax.tree.map(
+                lambda t: t.reshape((K, chunk) + t.shape[1:]),
+                (pw_poses, pw_adapt, c["stacked_pred_i"],
+                 c["stacked_pred_j"], c["weight_i"], c["weight_j"],
+                 c["onehot_i"], c["onehot_j"]))
+
+            def body(acc, args):
+                li, lj = jax.checkpoint(edge_terms)(*args)
+                return (acc[0] + li, acc[1] + lj), None
+
+            (li, lj), _ = jax.lax.scan(body, (jnp.zeros((), f32),) * 2, xs)
+        else:
+            li, lj = edge_terms(pw_poses, pw_adapt, c["stacked_pred_i"],
+                                c["stacked_pred_j"], c["weight_i"],
+                                c["weight_j"], c["onehot_i"], c["onehot_j"])
+        return li / self.total_area_i + lj / self.total_area_j
 
     def forward(self):
         return float(self.loss_fn(self.params))

@@ -204,16 +204,14 @@ class PointCloudOptimizer(BasePCOptimizer):
 # ---------------------------------------------------------------------- #
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _run_alignment(loss_fn, params, masks, lrs, consts):
-    """Scan Adam(0.9, 0.9) over the precomputed LR schedule.
+def _alignment_segment(loss_fn, params, opt_state, masks, lrs, consts):
+    """Scan Adam(0.9, 0.9) over one segment of the LR schedule.
 
-    Returns (final params, per-iter losses). Frozen entries receive zero
-    gradient via the masks (their Adam moments stay exactly zero). The
-    stacked edge tensors are threaded through `consts` as jit arguments
-    so they never become XLA program constants.
+    Frozen entries receive zero gradient via the masks (their Adam moments
+    stay exactly zero). The stacked edge tensors are threaded through
+    `consts` as jit arguments so they never become XLA program constants.
     """
     opt = optax.scale_by_adam(b1=0.9, b2=0.9)
-    opt_state = opt.init(params)
 
     def step(carry, lr):
         params, opt_state = carry
@@ -223,8 +221,30 @@ def _run_alignment(loss_fn, params, masks, lrs, consts):
         params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
         return (params, opt_state), loss
 
-    (params, _), losses = jax.lax.scan(step, (params, opt_state), lrs)
-    return params, losses
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), lrs)
+    return params, opt_state, losses
+
+
+_adam_init = jax.jit(optax.scale_by_adam(b1=0.9, b2=0.9).init)
+
+
+def _run_alignment(loss_fn, params, masks, lrs, consts, segment=100):
+    """Run the whole Adam schedule as ceil(niter/segment) device scans.
+
+    Segmenting bounds each device execution to ~segment iterations: on big
+    scenes a single 300-iter program can run for minutes, which trips the
+    remote-execution deadline of tunneled deployments (observed as a
+    'TPU worker crashed' on 600-edge scenes); per-segment dispatch costs
+    only ~ms. Adam moments and step count carry across segments, so the
+    result is bit-identical to one long scan.
+    """
+    opt_state = _adam_init(params)
+    losses = []
+    for s in range(0, len(lrs), segment):
+        params, opt_state, seg_losses = _alignment_segment(
+            loss_fn, params, opt_state, masks, lrs[s:s + segment], consts)
+        losses.append(seg_losses)
+    return params, jnp.concatenate(losses) if losses else jnp.zeros((0,))
 
 
 def global_alignment_loop(scene, lr=0.01, niter=300, schedule="cosine",
