@@ -118,3 +118,51 @@ def cam_to_world_from_kapture(kdata, timestamp, camera_id):
     camera_pose[:3, :3] = quaternion.as_rotation_matrix(camera_to_world.r)
     camera_pose[:3, 3] = camera_to_world.t_raw
     return camera_pose
+
+
+def plot_matches(query_rgb, map_rgb, matches_im0, matches_im1, n_viz=20,
+                 save_path=None):
+    """Side-by-side match overlay (reference visloc.py:127-146).
+
+    query_rgb/map_rgb: uint8 HWC arrays or PIL images at ORIGINAL
+    resolution; matches_im0/matches_im1: (N, 2) cv2-convention pixel
+    coordinates in each image's original resolution. Evenly subsamples
+    n_viz matches and draws jet-colored connecting lines. With save_path
+    the figure is written headlessly (Agg); otherwise it is shown
+    (the reference's pl.show(block=True) behavior).
+    """
+    import matplotlib
+    if save_path is not None:
+        matplotlib.use("Agg")
+    from matplotlib import pyplot as pl
+
+    img0 = np.asarray(query_rgb)
+    img1 = np.asarray(map_rgb)
+    num = len(matches_im0)
+    if num == 0:
+        return None
+    n_viz = min(n_viz, num)
+    idx = np.round(np.linspace(0, num - 1, n_viz)).astype(int)
+    m0, m1 = matches_im0[idx], matches_im1[idx]
+
+    H0, W0 = img0.shape[:2]
+    H1, W1 = img1.shape[:2]
+    img0 = np.pad(img0, ((0, max(H1 - H0, 0)), (0, 0), (0, 0)),
+                  "constant", constant_values=0)
+    img1 = np.pad(img1, ((0, max(H0 - H1, 0)), (0, 0), (0, 0)),
+                  "constant", constant_values=0)
+    img = np.concatenate((img0, img1), axis=1)
+    fig = pl.figure()
+    pl.imshow(img)
+    cmap = pl.get_cmap("jet")
+    for i in range(n_viz):
+        (x0, y0), (x1, y1) = m0[i].T, m1[i].T
+        pl.plot([x0, x1 + W0], [y0, y1], "-+",
+                color=cmap(i / max(n_viz - 1, 1)),
+                scalex=False, scaley=False)
+    if save_path is not None:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        pl.close(fig)
+        return save_path
+    pl.show(block=True)
+    return None

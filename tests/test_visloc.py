@@ -186,3 +186,97 @@ class TestLocalizeQuery:
         assert success
         te, ae = get_pose_error(pose, q_c2w)
         assert te < 0.01 and ae < 0.5
+
+
+class TestVislocMain:
+    """Fixture-backed run through visloc.py::main (VERDICT r1 item 7):
+    synthetic .pth checkpoint + synthetic dataset; asserts the LTVL result
+    export, the aggregate stats line, and the --viz_matches overlays."""
+
+    def test_main_end_to_end(self, tmp_path):
+        import sys
+        import PIL.Image
+        import torch
+        import jax
+        import jax.numpy as jnp
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import visloc as visloc_mod
+        from dust3r_tpu.models.model import AsymmetricCroCo3DStereo
+        from dust3r_tpu.checkpoint import to_torch_state_dict
+        from dust3r_tpu.visloc.datasets.base_dataset import BaseVislocDataset
+
+        # --- synthetic checkpoint ------------------------------------
+        kw = dict(img_size=(64, 64), patch_size=16, enc_embed_dim=64,
+                  enc_depth=2, enc_num_heads=2, dec_embed_dim=48,
+                  dec_depth=2, dec_num_heads=2)
+        model = AsymmetricCroCo3DStereo(**kw)
+        img = jnp.zeros((1, 48, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), img, img)
+        sd = to_torch_state_dict(variables, enc_depth=2, dec_depth=2,
+                                 head_type="linear")
+        arch = ("AsymmetricCroCo3DStereo(pos_embed='RoPE100', "
+                "img_size=(64, 64), head_type='linear', "
+                "output_mode='pts3d', depth_mode=('exp', -inf, inf), "
+                "conf_mode=('exp', 1, inf), enc_embed_dim=64, enc_depth=2, "
+                "enc_num_heads=2, dec_embed_dim=48, dec_depth=2, "
+                "dec_num_heads=2)")
+        import argparse
+        ckpt = tmp_path / "tiny.pth"
+        torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                              for k, v in sd.items()},
+                    "args": argparse.Namespace(model=arch)}, ckpt)
+
+        # --- synthetic 1-query dataset -------------------------------
+        rng = np.random.default_rng(7)
+        H, W = 48, 64
+        f = 80.0
+        K = np.float32([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+        depth = rng.uniform(2, 4, (H, W)).astype(np.float32)
+        from dust3r_tpu.utils.geometry import (
+            depthmap_to_absolute_camera_coordinates)
+        pts_world, _ = depthmap_to_absolute_camera_coordinates(
+            depth, K, np.eye(4, dtype=np.float32))
+
+        rgb_arr = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+        rgb_pil = PIL.Image.fromarray(rgb_arr)
+        rgb_rescaled = (rgb_arr.astype(np.float32) / 255 - 0.5) / 0.5
+
+        class SyntheticVislocDataset(BaseVislocDataset):
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, idx):
+                query_view = dict(
+                    image_name="seq/q0.png", rgb=rgb_pil,
+                    rgb_rescaled=rgb_rescaled, intrinsics=K,
+                    distortion=None, to_orig=np.eye(3),
+                    cam_to_world=np.eye(4, dtype=np.float32))
+                map_view = dict(
+                    image_name="seq/m0.png", rgb=rgb_pil,
+                    rgb_rescaled=rgb_rescaled,
+                    pts3d_rescaled=np.asarray(pts_world),
+                    valid_rescaled=np.ones((H, W), bool),
+                    to_orig=np.eye(3), idx=1)
+                return [query_view, map_view]
+
+        visloc_mod.SyntheticVislocDataset = SyntheticVislocDataset
+        out_dir = tmp_path / "out"
+        try:
+            visloc_mod.main([
+                "--dataset", "SyntheticVislocDataset()",
+                "--weights", str(ckpt),
+                "--confidence_threshold", "1.0",
+                "--viz_matches", "10",
+                "--output_dir", str(out_dir)])
+        finally:
+            del visloc_mod.SyntheticVislocDataset
+
+        # LTVL export + stats printed; viz overlay written
+        results = list(out_dir.glob("*_results.txt"))
+        assert results, list(out_dir.iterdir())
+        txt = results[0].read_text()
+        assert "q0.png" in txt
+        vizs = list((out_dir / "viz").glob("*.png"))
+        assert len(vizs) == 1, vizs
+        assert vizs[0].stat().st_size > 1000

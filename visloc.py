@@ -49,8 +49,13 @@ def get_args_parser():
 
 
 def localize_query(engine, views, conf_thr, pnp_mode, reprojection_error,
-                   reprojection_error_diag_ratio, pnp_max_points):
+                   reprojection_error_diag_ratio, pnp_max_points,
+                   viz_matches=0, viz_path_prefix=None):
     """Estimate one query pose from its top-k map views.
+
+    With viz_matches > 0, draws that many reciprocal matches per map view
+    (reference visloc.py:127-146); saved to {viz_path_prefix}_k.png when a
+    prefix is given, shown interactively otherwise.
 
     Returns (success, cam2world or None)."""
     query_view = views[0]
@@ -95,6 +100,21 @@ def localize_query(engine, views, conf_thr, pnp_mode, reprojection_error,
         matches_im0 = np.asarray(geotrf(query_view["to_orig"], matches_im0,
                                         norm=True)) - 0.5
 
+        if viz_matches > 0:
+            from dust3r_tpu.visloc.utils import plot_matches
+            # map-view matches lifted to ITS original resolution (the
+            # reference reuses the query transform here, visloc.py:121 -
+            # same bucket in practice; per-view is strictly correct)
+            m1_orig = np.asarray(geotrf(
+                map_view.get("to_orig", query_view["to_orig"]),
+                matches_im1.astype(np.float64) + 0.5, norm=True)) - 0.5
+            save = (f"{viz_path_prefix}_{map_view.get('idx', 0)}.png"
+                    if viz_path_prefix else None)
+            plot_matches(query_view["rgb"], map_view.get("rgb",
+                                                         map_view["rgb_rescaled"]),
+                         matches_im0, m1_orig, n_viz=viz_matches,
+                         save_path=save)
+
         finite = np.isfinite(valid_pts3d.sum(axis=-1))
         if finite.any():
             query_pts3d.append(valid_pts3d[finite])
@@ -119,8 +139,8 @@ def localize_query(engine, views, conf_thr, pnp_mode, reprojection_error,
                    img_size=[W, H])
 
 
-def main():
-    args = get_args_parser().parse_args()
+def main(argv=None):
+    args = get_args_parser().parse_args(argv)
 
     weights_path = args.weights if args.weights else "naver/" + args.model_name
     model, variables = from_pretrained(weights_path)
@@ -135,10 +155,18 @@ def main():
         query_view = views[0]
         query_names.append(query_view["image_name"])
 
+        viz_prefix = None
+        if args.viz_matches > 0 and args.output_dir:
+            import os
+            viz_dir = os.path.join(args.output_dir, "viz")
+            os.makedirs(viz_dir, exist_ok=True)
+            viz_prefix = os.path.join(
+                viz_dir, query_view["image_name"].replace("/", "_"))
         success, pr_c2w = localize_query(
             engine, views, args.confidence_threshold, args.pnp_mode,
             args.reprojection_error, args.reprojection_error_diag_ratio,
-            args.pnp_max_points)
+            args.pnp_max_points, viz_matches=args.viz_matches,
+            viz_path_prefix=viz_prefix)
 
         if not success:
             te, ae = float("inf"), float("inf")
