@@ -167,17 +167,16 @@ def view_name(view, batch_index=None):
 
 
 def transpose_to_landscape(view):
-    """Store portrait views transposed so batches are shape-uniform.
+    """Store portrait views transposed so batches are shape-uniform
+    (exactly the reference's storage scheme,
+    base_stereo_view_dataset.py:200-219). `true_shape` keeps the real
+    orientation; the training loop attaches per-sample `is_portrait`
+    flags (training.add_manyar_flags) and the model processes flagged
+    samples at TRUE orientation via its static ManyAR path
+    (models/model.py encode/_head_manyar - reference
+    dust3r/patch_embed.py:32-70, utils/misc.py:54-100).
 
     NHWC layout: img is (H, W, 3).
-
-    NOTE (training-semantics divergence): the reference un-transposes these
-    samples inside the model (ManyAR patch embed + per-sample head split,
-    dust3r/patch_embed.py:32-70), training them at true orientation; the
-    TPU build keeps static batch shapes and trains such samples at storage
-    orientation instead (a transpose augmentation). This only affects the
-    near-square coin-flip samples and genuinely-portrait crops of
-    non-square buckets; inference is unaffected (true-orientation buckets).
     """
     height, width = view["true_shape"]
     if width < height:

@@ -168,17 +168,23 @@ class DecoderBlock(nn.Module):
 class PatchEmbed(nn.Module):
     """Conv patchifier producing tokens + integer (y, x) positions.
 
-    Input images are NHWC at their TRUE orientation (the TPU build compiles
-    one program per (H, W) bucket instead of the reference's
-    transposed-storage ManyAR trick - mathematically identical, see
-    reference dust3r/patch_embed.py:32-70).
+    Input images are NHWC. Inference compiles one program per TRUE
+    orientation (H, W) bucket; training batches store portrait samples
+    transposed (shape-uniform batches) and pass `portrait=True` to process
+    them at true orientation, exactly like the reference's ManyAR path
+    (dust3r/patch_embed.py:52-70: `self.proj(img.swapaxes(-1, -2))` +
+    swapped position grid).
     """
     patch_size: int = 16
     embed_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img):
+    def __call__(self, img, portrait=False):
+        if portrait:
+            # stored landscape -> true portrait orientation; the conv then
+            # sees the image the reference's ManyAR conv sees
+            img = img.swapaxes(1, 2)
         B, H, W, C = img.shape
         assert H % self.patch_size == 0 and W % self.patch_size == 0, \
             f"image size {(H, W)} not divisible by patch size {self.patch_size}"

@@ -160,9 +160,24 @@ class AsymmetricCroCo3DStereo(nn.Module):
     # stages (each is exposed via model.apply(..., method=...))
     # ------------------------------------------------------------------ #
 
-    def encode(self, img):
-        """img: (B, H, W, 3) normalized, true orientation. -> (tokens, pos)."""
-        x, pos = self.patch_embed(img.astype(self.dtype))
+    def encode(self, img, is_portrait=None):
+        """img: (B, H, W, 3) normalized. -> (tokens, pos).
+
+        is_portrait: optional (B,) bool — ManyAR batches (reference
+        dust3r/patch_embed.py:52-70): images stored landscape, per-sample
+        flags marking samples whose TRUE orientation is portrait. Both
+        patchify orientations run (the patchify conv is ~0.1% of the
+        forward) and tokens/positions are selected per sample; the
+        transformer body is orientation-agnostic given tokens+positions,
+        so it runs once. Static shapes throughout — no boolean gathers.
+        """
+        img = img.astype(self.dtype)
+        x, pos = self.patch_embed(img)
+        if is_portrait is not None:
+            xp, posp = self.patch_embed(img, portrait=True)
+            sel = is_portrait[:, None, None]
+            x = jnp.where(sel, xp, x)
+            pos = jnp.where(sel, posp, pos)
         if self.scan_layers:
             (x, _), _ = self.enc_scan((x, pos), None)
         else:
@@ -204,27 +219,60 @@ class AsymmetricCroCo3DStereo(nn.Module):
         h = self.downstream_head1 if head_num == 1 else self.downstream_head2
         return h(decout, img_shape)
 
-    def __call__(self, img1, img2):
-        """Full pair forward. img1/img2: (B, H, W, 3) true orientation.
+    def _head_manyar(self, head_num, decout, img_shape, is_portrait):
+        """ManyAR head split (reference dust3r/utils/misc.py:54-100): run
+        the head at BOTH orientations on the full batch and select per
+        sample; the portrait result is transposed back to storage
+        orientation so loss/GT comparison stays element-aligned. Static
+        shapes (the reference's boolean sub-batching is dynamic); the
+        double head pass is only paid on batches that contain portrait
+        samples — the host omits the flags otherwise.
+        """
+        H, W = img_shape
+        res_l = self.head(head_num, decout, (H, W))
+        res_p = self.head(head_num, decout, (W, H))
+        out = {}
+        for k in res_l:
+            pv = res_p[k].swapaxes(1, 2)  # back to storage orientation
+            sel = is_portrait.reshape((-1,) + (1,) * (res_l[k].ndim - 1))
+            out[k] = jnp.where(sel, pv, res_l[k])
+        return out
+
+    def __call__(self, img1, img2, is_portrait1=None, is_portrait2=None):
+        """Full pair forward. img1/img2: (B, H, W, 3).
+
+        Without flags, images are at their true orientation (inference
+        buckets). With is_portrait1/2 ((B,) bool), this is a ManyAR
+        training batch: images stored landscape, flagged samples processed
+        at true (portrait) orientation and returned at storage orientation
+        (reference dust3r/patch_embed.py:32-70, utils/misc.py:54-100).
 
         Returns (res1, res2): res1 = {pts3d, conf}; res2 =
         {pts3d_in_other_view, conf} - view2's points in view1's frame.
         """
         shape1 = img1.shape[1:3]
         shape2 = img2.shape[1:3]
+        manyar = is_portrait1 is not None
         if shape1 == shape2:
             # shared-shape fast path: one encoder batch (model.py:142-151)
-            feat, pos = self.encode(jnp.concatenate([img1, img2], axis=0))
+            mask = (jnp.concatenate([is_portrait1, is_portrait2])
+                    if manyar else None)
+            feat, pos = self.encode(jnp.concatenate([img1, img2], axis=0),
+                                    is_portrait=mask)
             B = img1.shape[0]
             f1, f2 = feat[:B], feat[B:]
             pos1, pos2 = pos[:B], pos[B:]
         else:
-            f1, pos1 = self.encode(img1)
-            f2, pos2 = self.encode(img2)
+            f1, pos1 = self.encode(img1, is_portrait=is_portrait1)
+            f2, pos2 = self.encode(img2, is_portrait=is_portrait2)
 
         dec1, dec2 = self.decode(f1, pos1, f2, pos2)
-        res1 = self.head(1, dec1, shape1)
-        res2 = self.head(2, dec2, shape2)
+        if manyar:
+            res1 = self._head_manyar(1, dec1, shape1, is_portrait1)
+            res2 = self._head_manyar(2, dec2, shape2, is_portrait2)
+        else:
+            res1 = self.head(1, dec1, shape1)
+            res2 = self.head(2, dec2, shape2)
         res2["pts3d_in_other_view"] = res2.pop("pts3d")
         return res1, res2
 

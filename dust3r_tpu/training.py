@@ -92,7 +92,12 @@ def loss_of_one_batch(model, params, criterion, batch, symmetrized=False):
     arrive already interleaved).
     """
     view1, view2 = batch
-    pred1, pred2 = model.apply(params, view1["img"], view2["img"])
+    # ManyAR batches carry per-sample portrait flags (host adds the key
+    # only when a batch actually contains portrait-stored samples, so
+    # the all-landscape program never pays the double head pass)
+    pred1, pred2 = model.apply(params, view1["img"], view2["img"],
+                               is_portrait1=view1.get("is_portrait"),
+                               is_portrait2=view2.get("is_portrait"))
     if criterion is None:
         return None, (pred1, pred2)
     loss, details = criterion(view1, view2, pred1, pred2)
@@ -314,7 +319,29 @@ def make_batch_symmetric(view1, view2):
 
 
 _DEVICE_KEYS = ("img", "pts3d", "valid_mask", "camera_pose",
-                "camera_intrinsics")
+                "camera_intrinsics", "is_portrait")
+
+
+def add_manyar_flags(view1, view2):
+    """Attach per-sample `is_portrait` flags to BOTH views when either
+    contains a portrait-stored sample (true_shape height > width).
+
+    Key presence is the static signal selecting the ManyAR model program
+    (double head pass + per-sample orientation, reference
+    dust3r/utils/misc.py:54-100); all-landscape batches keep the plain
+    program. Flags are added to both views or neither so the jit-traced
+    batch structure stays consistent.
+    """
+    flags = []
+    for v in (view1, view2):
+        ts = np.asarray(v.get("true_shape"))
+        if ts is None or ts.ndim != 2:
+            return view1, view2
+        flags.append(ts[:, 0] > ts[:, 1])
+    if any(f.any() for f in flags):
+        view1 = dict(view1, is_portrait=flags[0])
+        view2 = dict(view2, is_portrait=flags[1])
+    return view1, view2
 
 
 def _batch_to_device(view):
@@ -577,7 +604,17 @@ def train_one_epoch(model, state, step_fn, data_loader, epoch, spec,
     groups = _grouped(iter(data_loader), accum)
     for i, group in metric_logger.log_every(groups, print_freq, header):
         epoch_f = epoch + (i * accum) / max(n_iters, 1)
-        sym = [make_batch_symmetric(v1, v2) for v1, v2 in group]
+        sym = [add_manyar_flags(*make_batch_symmetric(v1, v2))
+               for v1, v2 in group]
+        if any("is_portrait" in v1 for v1, _ in sym):
+            # batch structure must be uniform across the accum scan: if
+            # any micro-batch got ManyAR flags, give all of them flags
+            sym = [(dict(v1, is_portrait=np.asarray(v1["true_shape"])[:, 0]
+                         > np.asarray(v1["true_shape"])[:, 1]),
+                    dict(v2, is_portrait=np.asarray(v2["true_shape"])[:, 0]
+                         > np.asarray(v2["true_shape"])[:, 1]))
+                   if "is_portrait" not in v1 else (v1, v2)
+                   for v1, v2 in sym]
         dev_batch = stack_accum_batches(sym)
         if mesh is not None:
             dev_batch = shard_batch(mesh, dev_batch,
@@ -625,7 +662,7 @@ def test_one_epoch(model, params, criterion, data_loader, epoch,
     for i, batch in metric_logger.log_every(iter(data_loader), print_freq,
                                             header):
         view1, view2 = batch
-        view1, view2 = make_batch_symmetric(view1, view2)
+        view1, view2 = add_manyar_flags(*make_batch_symmetric(view1, view2))
         dev_batch = (_batch_to_device(view1), _batch_to_device(view2))
         if mesh is not None:
             dev_batch = shard_batch(mesh, dev_batch)
