@@ -48,10 +48,17 @@ def main():
                     help="write inputs+outputs .npz for offline comparison")
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "force-registers the TPU; env vars don't override "
+                         "it - required when a TPU process is running)")
     args = ap.parse_args()
 
     import torch
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from dust3r_tpu.checkpoint import (model_from_arch_string,
                                        convert_torch_state_dict,

@@ -203,8 +203,8 @@ class TestValidateRealCkptScript:
 
         out_npz = tmp_path / "outs.npz"
         env_script = ["python", "scripts/validate_real_ckpt.py",
-                      str(ckpt_path), "--height", "64", "--width", "64",
-                      "--save-outputs", str(out_npz)]
+                      str(ckpt_path), "--cpu", "--height", "64",
+                      "--width", "64", "--save-outputs", str(out_npz)]
         r = subprocess.run(env_script, capture_output=True, text=True,
                            cwd="/root/repo", timeout=600)
         assert r.returncode == 0, r.stdout + r.stderr
@@ -214,7 +214,7 @@ class TestValidateRealCkptScript:
         # second run: compare against the recorded outputs (self-parity)
         r2 = subprocess.run(
             ["python", "scripts/validate_real_ckpt.py", str(ckpt_path),
-             "--height", "64", "--width", "64",
+             "--cpu", "--height", "64", "--width", "64",
              "--ref-outputs", str(out_npz)],
             capture_output=True, text=True, cwd="/root/repo", timeout=600)
         assert r2.returncode == 0, r2.stdout + r2.stderr
