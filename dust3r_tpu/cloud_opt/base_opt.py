@@ -72,6 +72,7 @@ class BasePCOptimizer:
                  verbose=True,
                  obs_dtype=jnp.float32,
                  edge_chunk=128,
+                 mesh=None,
                  **_ignored):
         self.verbose = verbose
         # observation storage dtype: bf16 halves the HBM traffic of the
@@ -82,6 +83,15 @@ class BasePCOptimizer:
         # O(edge_chunk * A) through forward AND backward, so complete graphs
         # at 25+ images and swin graphs at 50+ fit a 16 GB chip
         self.edge_chunk = edge_chunk
+        # multi-chip: shard the EDGE axis of the stacked observations over
+        # all devices of the mesh (SURVEY §5's TPU analogue of "scale" =
+        # number of aligner edges). Params stay replicated; XLA inserts the
+        # loss/grad all-reduce from the shardings. Supersedes chunking
+        # (each shard holds E/n_devices edges - the memory win is the same
+        # mechanism, spatial instead of temporal).
+        self.mesh = mesh
+        if mesh is not None:
+            self.edge_chunk = 0
         self.min_conf_thr = min_conf_thr
         self.base_scale = base_scale
         self.pw_break = pw_break
@@ -133,6 +143,9 @@ class BasePCOptimizer:
         E_pad = E
         if self.edge_chunk and E > self.edge_chunk:
             E_pad = -(-E // self.edge_chunk) * self.edge_chunk
+        if self.mesh is not None:
+            n_shard = int(np.prod(list(self.mesh.shape.values())))
+            E_pad = -(-E // n_shard) * n_shard
         self._n_edges_pad = E_pad
 
         def stack_pad(rows):
@@ -158,6 +171,12 @@ class BasePCOptimizer:
             "onehot_j": jnp.asarray(_edge_onehot(
                 [j for i, j in self.edges], self.n_imgs, E_pad)),
         }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            edge_sharded = NamedSharding(
+                self.mesh, PartitionSpec(tuple(self.mesh.axis_names)))
+            self.consts = {k: jax.device_put(v, edge_sharded)
+                           for k, v in self.consts.items()}
         self.total_area_i = sum(im_areas[i] for i, j in self.edges)
         self.total_area_j = sum(im_areas[j] for i, j in self.edges)
 
@@ -354,21 +373,22 @@ class BasePCOptimizer:
         E = pw_poses.shape[0]
         chunk = self.edge_chunk
         E_pad = getattr(self, "_n_edges_pad", E)
-        if chunk and E_pad > chunk:
-            # scan over rematerialized edge chunks: peak memory through
-            # forward + backward is O(chunk * A), not O(E * A). The stacked
-            # consts are stored pre-padded to E_pad with zero-weight edges;
+        if E_pad > E:
+            # The stacked consts are stored pre-padded to E_pad (chunk
+            # multiple or device-count multiple) with zero-weight edges;
             # only the (tiny) pose/adaptor stacks are padded here. Padding
             # poses with identities (NOT zeros: a zero quaternion would
             # normalize to NaN upstream) keeps the padded terms finite, and
             # their zero weights exclude them from the sums exactly.
+            eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
+                                   (E_pad - E, 4, 4))
+            pw_poses = jnp.concatenate([pw_poses, eye])
+            pw_adapt = jnp.concatenate(
+                [pw_adapt, jnp.ones((E_pad - E, 1, 3), pw_adapt.dtype)])
+        if chunk and E_pad > chunk:
+            # scan over rematerialized edge chunks: peak memory through
+            # forward + backward is O(chunk * A), not O(E * A)
             K = E_pad // chunk
-            if E_pad > E:
-                eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
-                                       (E_pad - E, 4, 4))
-                pw_poses = jnp.concatenate([pw_poses, eye])
-                pw_adapt = jnp.concatenate(
-                    [pw_adapt, jnp.ones((E_pad - E, 1, 3), pw_adapt.dtype)])
             xs = jax.tree.map(
                 lambda t: t.reshape((K, chunk) + t.shape[1:]),
                 (pw_poses, pw_adapt, c["stacked_pred_i"],

@@ -40,24 +40,58 @@ class InferenceEngine:
     converter)
     """
 
-    def __init__(self, model, params, batch_size=8):
+    def __init__(self, model, params, batch_size=8, mesh=None):
+        """mesh: optional jax.sharding.Mesh - data-parallel pair fan-out
+        (SURVEY §5: sharding the PAIR axis across devices for inference).
+        Params and stacked encoder features are replicated; each batch of
+        pairs is split over all mesh devices through encoder, decoder and
+        heads - XLA emits the (trivial) collectives. batch_size must be a
+        multiple of the device count."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            assert batch_size % n_dev == 0, \
+                f"batch_size {batch_size} not divisible by {n_dev} devices"
+            axes = tuple(mesh.axis_names)
+            self._repl = NamedSharding(mesh, PartitionSpec())
+            self._bshard = NamedSharding(mesh, PartitionSpec(axes))
+            params = jax.device_put(params, self._repl)
+
+            def bconstrain(x):
+                return jax.lax.with_sharding_constraint(x, self._bshard)
+
+            def rconstrain(x):
+                return jax.lax.with_sharding_constraint(x, self._repl)
+        else:
+            def bconstrain(x):
+                return x
+
+            def rconstrain(x):
+                return x
         self.params = params
         self.batch_size = batch_size
 
+        # encoder runs batch-sharded; its (small) feature stack is
+        # replicated on output so downstream pair gathers need no comms
         self._encode = jax.jit(
-            lambda p, img: model.apply(p, img, method="encode"))
+            lambda p, img: jax.tree.map(
+                rconstrain, model.apply(p, bconstrain(img),
+                                        method="encode")))
 
         @functools.partial(jax.jit, static_argnums=(7, 8))
         def _decode_head_gather(p, feats, pos, feats2, pos2, idx1, idx2,
                                 shape1, shape2):
             """Gather the pair batch from stacked encoder features and run
             decoder + heads - ONE dispatch per batch (the gather happens
-            on device, no host round-trips)."""
-            f1 = jnp.take(feats, idx1, axis=0)
-            p1 = jnp.take(pos, idx1, axis=0)
-            f2 = jnp.take(feats2, idx2, axis=0)
-            p2 = jnp.take(pos2, idx2, axis=0)
+            on device, no host round-trips). With a mesh, the gathered
+            batch is sharded over devices (feats are replicated, so the
+            gather itself needs no communication)."""
+            f1 = bconstrain(jnp.take(feats, idx1, axis=0))
+            p1 = bconstrain(jnp.take(pos, idx1, axis=0))
+            f2 = bconstrain(jnp.take(feats2, idx2, axis=0))
+            p2 = bconstrain(jnp.take(pos2, idx2, axis=0))
             dec1, dec2 = model.apply(p, f1, p1, f2, p2, method="decode")
             res1 = model.apply(p, 1, dec1, shape1, method="head")
             res2 = model.apply(p, 2, dec2, shape2, method="head")

@@ -199,3 +199,48 @@ class TestPrefilters:
                                           seq_dis_thr=1, verbose=False)
         assert v1["idx"] == [0, 3]  # edges (0,1) and (3,4) kept
         assert p1["pts3d"].shape == (2, 1)
+
+
+class TestMeshEngine:
+    """Data-parallel pair fan-out: InferenceEngine(mesh=...) shards each
+    pair batch over all mesh devices (params/features replicated). Output
+    must match the single-device engine."""
+
+    def test_mesh_matches_single_device(self):
+        import jax
+        from jax.sharding import Mesh
+        from dust3r_tpu.inference import InferenceEngine
+
+        model = AsymmetricCroCo3DStereo(**TINY)
+        views = make_views(4)
+        img = jnp.asarray(views[0]["img"])
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        pairs = make_pairs(views, "complete", symmetrize=True)
+
+        ref = InferenceEngine(model, params, batch_size=8)
+        out_ref = ref.infer_pairs(pairs, verbose=False)
+
+        mesh = Mesh(np.array(jax.devices()), ("pairs",))
+        eng = InferenceEngine(model, params, batch_size=8, mesh=mesh)
+        assert eng.params["params"]["enc_norm"]["ln"][
+            "scale"].sharding.num_devices == 8
+        out = eng.infer_pairs(pairs, verbose=False)
+
+        np.testing.assert_allclose(out["pred1"]["pts3d"],
+                                   out_ref["pred1"]["pts3d"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(out["pred2"]["pts3d_in_other_view"],
+                                   out_ref["pred2"]["pts3d_in_other_view"],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_batch_size_must_divide(self):
+        import jax
+        from jax.sharding import Mesh
+        from dust3r_tpu.inference import InferenceEngine
+
+        model = AsymmetricCroCo3DStereo(**TINY)
+        img = jnp.zeros((1, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        mesh = Mesh(np.array(jax.devices()), ("pairs",))
+        with pytest.raises(AssertionError):
+            InferenceEngine(model, params, batch_size=3, mesh=mesh)
