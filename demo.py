@@ -22,7 +22,18 @@ def main():
 
     model, variables = from_pretrained(
         args.weights or "naver/" + args.model_name)
-    engine = InferenceEngine(model, variables, batch_size=1)
+    mesh = None
+    batch_size = 1
+    if args.mesh:
+        import numpy as np
+        import jax
+        from jax.sharding import Mesh
+        devs = jax.devices()[:args.mesh]
+        mesh = Mesh(np.array(devs), ("pairs",))
+        batch_size = len(devs)
+        print(f"data-parallel inference over {len(devs)} devices")
+    engine = InferenceEngine(model, variables, batch_size=batch_size,
+                             mesh=mesh)
 
     with tempfile.TemporaryDirectory(suffix="dust3r_gradio_demo") as tmp:
         if not args.silent:

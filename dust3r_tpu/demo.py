@@ -42,6 +42,9 @@ def get_args_parser():
                                          "DUSt3R_ViTLarge_BaseDecoder_224_linear"])
     parser.add_argument("--device", type=str, default="tpu",
                         help="accepted for CLI parity; JAX manages placement")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard each inference batch and the aligner "
+                             "edges over this many devices (0 = off)")
     parser.add_argument("--tmp_dir", type=str, default=None)
     parser.add_argument("--silent", action="store_true", default=False)
     return parser
@@ -148,7 +151,8 @@ def get_reconstructed_scene(outdir, engine, device, silent, image_size,
 
     mode = (GlobalAlignerMode.PointCloudOptimizer if len(imgs) > 2
             else GlobalAlignerMode.PairViewer)
-    scene = global_aligner(output, mode=mode, verbose=not silent)
+    scene = global_aligner(output, mode=mode, verbose=not silent,
+                           mesh=getattr(engine, "mesh", None))
     if mode == GlobalAlignerMode.PointCloudOptimizer:
         scene.compute_global_alignment(init="mst", niter=niter,
                                        schedule=schedule, lr=0.01)

@@ -43,6 +43,9 @@ def get_args_parser():
                                default=None)
     parser.add_argument("--pnp_max_points", type=int, default=100_000)
     parser.add_argument("--viz_matches", type=int, default=0)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard inference batches over this many "
+                             "devices (0 = off)")
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--output_label", type=str, default="")
     return parser
@@ -144,7 +147,16 @@ def main(argv=None):
 
     weights_path = args.weights if args.weights else "naver/" + args.model_name
     model, variables = from_pretrained(weights_path)
-    engine = InferenceEngine(model, variables, batch_size=1)
+    mesh = None
+    batch_size = 1
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+        devs = jax.devices()[:args.mesh]
+        mesh = Mesh(np.array(devs), ("pairs",))
+        batch_size = len(devs)
+    engine = InferenceEngine(model, variables, batch_size=batch_size,
+                             mesh=mesh)
 
     dataset = eval(args.dataset)  # noqa: S307 - same CLI DSL as reference
     dataset.set_resolution(model)
