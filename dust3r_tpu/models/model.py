@@ -238,7 +238,8 @@ class AsymmetricCroCo3DStereo(nn.Module):
             out[k] = jnp.where(sel, pv, res_l[k])
         return out
 
-    def __call__(self, img1, img2, is_portrait1=None, is_portrait2=None):
+    def __call__(self, img1, img2, is_portrait1=None, is_portrait2=None,
+                 symmetrized=False):
         """Full pair forward. img1/img2: (B, H, W, 3).
 
         Without flags, images are at their true orientation (inference
@@ -247,13 +248,30 @@ class AsymmetricCroCo3DStereo(nn.Module):
         at true (portrait) orientation and returned at storage orientation
         (reference dust3r/patch_embed.py:32-70, utils/misc.py:54-100).
 
+        symmetrized=True: the batch is (I,J),(J,I)-interleaved (the
+        training default - make_batch_symmetric), i.e. img2 is img1 with
+        each consecutive pair swapped. Only img1 is encoded and view2's
+        features are a pair-swap permutation of view1's - HALF the encoder
+        cost, the reference's symmetrized fast path (model.py:162-166 via
+        utils/misc.py:32-51). The caller asserts the batch layout.
+
         Returns (res1, res2): res1 = {pts3d, conf}; res2 =
         {pts3d_in_other_view, conf} - view2's points in view1's frame.
         """
         shape1 = img1.shape[1:3]
         shape2 = img2.shape[1:3]
         manyar = is_portrait1 is not None
-        if shape1 == shape2:
+
+        def swap_pairs(t):
+            B = t.shape[0]
+            return t.reshape((B // 2, 2) + t.shape[1:])[:, ::-1].reshape(
+                t.shape)
+
+        if symmetrized:
+            assert shape1 == shape2, "symmetrized batches share one shape"
+            f1, pos1 = self.encode(img1, is_portrait=is_portrait1)
+            f2, pos2 = swap_pairs(f1), swap_pairs(pos1)
+        elif shape1 == shape2:
             # shared-shape fast path: one encoder batch (model.py:142-151)
             mask = (jnp.concatenate([is_portrait1, is_portrait2])
                     if manyar else None)

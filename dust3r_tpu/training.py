@@ -87,24 +87,31 @@ def loss_of_one_batch(model, params, criterion, batch, symmetrized=False):
     batch: (view1, view2) dicts with jnp arrays:
       img (B,H,W,3), pts3d (B,H,W,3), valid_mask (B,H,W),
       camera_pose (B,4,4) [, camera_intrinsics].
-    Mirrors reference loss_of_one_batch (inference.py:32-52); the
-    `symmetrized` flag is handled upstream by the data pipeline (batches
-    arrive already interleaved).
+    Mirrors reference loss_of_one_batch (inference.py:32-52). The batch
+    interleaving itself happens upstream (make_batch_symmetric);
+    `symmetrized=True` additionally tells the model the layout so it can
+    take the half-encoder fast path.
     """
     view1, view2 = batch
     # ManyAR batches carry per-sample portrait flags (host adds the key
     # only when a batch actually contains portrait-stored samples, so
-    # the all-landscape program never pays the double head pass)
+    # the all-landscape program never pays the double head pass).
+    # symmetrized=True engages the reference's fast path (model.py:162-166):
+    # the batch is (I,J),(J,I)-interleaved by make_batch_symmetric, so only
+    # view1 is encoded and view2's features are a pair-swap - half the
+    # encoder cost of the training forward AND backward.
     pred1, pred2 = model.apply(params, view1["img"], view2["img"],
                                is_portrait1=view1.get("is_portrait"),
-                               is_portrait2=view2.get("is_portrait"))
+                               is_portrait2=view2.get("is_portrait"),
+                               symmetrized=symmetrized)
     if criterion is None:
         return None, (pred1, pred2)
     loss, details = criterion(view1, view2, pred1, pred2)
     return (loss, details), (pred1, pred2)
 
 
-def build_train_step(model, criterion, spec: TrainSpec, mesh=None):
+def build_train_step(model, criterion, spec: TrainSpec, mesh=None,
+                     symmetrized=False):
     """Create the jitted (optionally mesh-sharded) training step.
 
     Returns step_fn(state, batch, epoch_f) -> (state, metrics). With a mesh,
@@ -119,7 +126,8 @@ def build_train_step(model, criterion, spec: TrainSpec, mesh=None):
 
     def loss_fn(params, micro_batch):
         (loss, details), _ = loss_of_one_batch(model, params, criterion,
-                                               micro_batch)
+                                               micro_batch,
+                                               symmetrized=symmetrized)
         return loss, details
 
     def step_fn(state, batch, epoch_f):
@@ -512,7 +520,8 @@ def train(args):
             start_epoch = meta.get("epoch", -1) + 1
             best_so_far = meta.get("best_so_far", float("inf"))
 
-    step_fn = build_train_step(model, train_criterion, spec, mesh=mesh)
+    step_fn = build_train_step(model, train_criterion, spec, mesh=mesh,
+                               symmetrized=True)
 
     # TensorBoard scalars under the reference's epoch_1000x x-axis
     # (training.py:186,321-333); gated optional dep.
@@ -656,7 +665,8 @@ def test_one_epoch(model, params, criterion, data_loader, epoch,
     def eval_step(params, batch):
         if mesh is not None:
             batch = batch_constraint(mesh, batch)
-        (loss, details), _ = loss_of_one_batch(model, params, criterion, batch)
+        (loss, details), _ = loss_of_one_batch(model, params, criterion,
+                                               batch, symmetrized=True)
         return loss, details
 
     for i, batch in metric_logger.log_every(iter(data_loader), print_freq,

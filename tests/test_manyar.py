@@ -172,3 +172,88 @@ class TestManyARTraining:
         assert "is_portrait" in o1 and "is_portrait" in o2
         np.testing.assert_array_equal(o1["is_portrait"], [False, False])
         np.testing.assert_array_equal(o2["is_portrait"], [False, True])
+
+
+class TestSymmetrizedFastPath:
+    """Reference model.py:162-166: (I,J),(J,I)-interleaved batches encode
+    only view1; view2's features are a pair-swap permutation."""
+
+    def test_matches_plain_path(self):
+        model = AsymmetricCroCo3DStereo(**TINY)
+        I = _rand_imgs(1, 48, 64, 20)
+        J = _rand_imgs(1, 48, 64, 21)
+        K = _rand_imgs(1, 48, 64, 22)
+        L = _rand_imgs(1, 48, 64, 23)
+        img1 = jnp.concatenate([I, J, K, L])      # (I,J),(J,I),(K,L),(L,K)
+        img2 = jnp.concatenate([J, I, L, K])
+        params = model.init(jax.random.PRNGKey(0), img1[:1], img2[:1])
+        r1, r2 = model.apply(params, img1, img2)
+        s1, s2 = model.apply(params, img1, img2, symmetrized=True)
+        np.testing.assert_allclose(np.asarray(s1["pts3d"]),
+                                   np.asarray(r1["pts3d"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s2["pts3d_in_other_view"]),
+                                   np.asarray(r2["pts3d_in_other_view"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_manyar_symmetrized(self):
+        """Mixed-orientation symmetric batch: fast path must agree with
+        the plain ManyAR path."""
+        model = AsymmetricCroCo3DStereo(**TINY)
+        land = _rand_imgs(1, 48, 64, 24)
+        port = _rand_imgs(1, 64, 48, 25).swapaxes(1, 2)   # stored landscape
+        img1 = jnp.concatenate([land, port])
+        img2 = jnp.concatenate([port, land])
+        m1 = jnp.array([False, True])
+        m2 = jnp.array([True, False])
+        params = model.init(jax.random.PRNGKey(0), img1[:1], img2[:1])
+        r1, r2 = model.apply(params, img1, img2,
+                             is_portrait1=m1, is_portrait2=m2)
+        s1, s2 = model.apply(params, img1, img2,
+                             is_portrait1=m1, is_portrait2=m2,
+                             symmetrized=True)
+        np.testing.assert_allclose(np.asarray(s1["pts3d"]),
+                                   np.asarray(r1["pts3d"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s2["pts3d_in_other_view"]),
+                                   np.asarray(r2["pts3d_in_other_view"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_training_loss_matches(self):
+        """build_train_step(symmetrized=True) must produce the same loss
+        as the plain path on a make_batch_symmetric batch."""
+        from dust3r_tpu.training import (TrainSpec, init_train_state,
+                                         build_train_step,
+                                         make_batch_symmetric,
+                                         _batch_to_device)
+        from dust3r_tpu.losses import ConfLoss, Regr3D, L21
+
+        model = AsymmetricCroCo3DStereo(**TINY)
+        rng = np.random.default_rng(3)
+        H, W = 48, 64
+
+        def make_view(seed):
+            r = np.random.default_rng(seed)
+            pose = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+            return dict(
+                img=r.standard_normal((2, H, W, 3)).astype(np.float32),
+                pts3d=(r.standard_normal((2, H, W, 3)).astype(np.float32)
+                       + np.float32([0, 0, 3])),
+                valid_mask=r.uniform(size=(2, H, W)) > 0.2,
+                camera_pose=pose,
+                true_shape=np.tile(np.int32([H, W]), (2, 1)))
+
+        v1, v2 = make_batch_symmetric(make_view(1), make_view(2))
+        batch = (_batch_to_device(v1), _batch_to_device(v2))
+        criterion = ConfLoss(Regr3D(L21), alpha=0.2)
+        spec = TrainSpec(lr=1e-4, warmup_epochs=0, epochs=1)
+        params = model.init(jax.random.PRNGKey(0),
+                            batch[0]["img"][:1], batch[1]["img"][:1])
+        losses = {}
+        for sym in (False, True):
+            # step_fn donates its state; give each run its own param copy
+            state = init_train_state(jax.tree.map(jnp.copy, params), spec)
+            step = build_train_step(model, criterion, spec, symmetrized=sym)
+            _, metrics = step(state, batch, jnp.asarray(0.0))
+            losses[sym] = float(metrics["loss"])
+        np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
