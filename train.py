@@ -46,6 +46,14 @@ def get_args_parser():
     parser.add_argument("--world_size", default=1, type=int,
                         help="deprecated; process count comes from "
                              "jax.distributed (JAX_NUM_PROCESSES)")
+    # accepted for reference-CLI drop-in compatibility; no-ops on TPU
+    parser.add_argument("--local_rank", default=-1, type=int,
+                        help="accepted for CLI parity (torch DDP); unused")
+    parser.add_argument("--dist_url", default="env://", type=str,
+                        help="accepted for CLI parity (torch DDP); unused")
+    parser.add_argument("--disable_cudnn_benchmark", action="store_true",
+                        default=False,
+                        help="accepted for CLI parity (CUDA); unused")
     parser.add_argument("--eval_freq", type=int, default=1)
     parser.add_argument("--save_freq", default=1, type=int)
     parser.add_argument("--keep_freq", default=20, type=int)
