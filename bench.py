@@ -231,20 +231,24 @@ def main():
     except Exception as e:
         log(f"scene-graph bench failed: {type(e).__name__}: {e}")
     value = None
+    good_bs = None
     for bs in (8, 4, 2, 1):
         try:
             value = bench_pairs_per_sec(batch_size=bs)
+            good_bs = bs
             break
         except Exception as e:
             log(f"batch_size={bs} failed: {type(e).__name__}: {e}")
     # per-AR-bucket table (the 512 training/inference buckets,
-    # README.md:102 / visloc utils.py:23); params shared via _bench_params
+    # README.md:102 / visloc utils.py:23); params shared via _bench_params.
+    # Reuse the batch size that worked for the headline - retrying a
+    # failed bs costs a full remote compile per bucket.
     if value is not None:
         buckets = {}
         for bh, bw in ((336, 512), (288, 512), (256, 512), (160, 512)):
             try:
                 buckets[f"{bw}x{bh}"] = round(bench_pairs_per_sec(
-                    batch_size=8, H=bh, W=bw, iters=10), 2)
+                    batch_size=good_bs, H=bh, W=bw, iters=10), 2)
             except Exception as e:
                 log(f"bucket {bw}x{bh} failed: {type(e).__name__}: {e}")
         buckets["512x384"] = round(value, 2)

@@ -22,16 +22,10 @@ def main():
 
     model, variables = from_pretrained(
         args.weights or "naver/" + args.model_name)
-    mesh = None
-    batch_size = 1
-    if args.mesh:
-        import numpy as np
-        import jax
-        from jax.sharding import Mesh
-        devs = jax.devices()[:args.mesh]
-        mesh = Mesh(np.array(devs), ("pairs",))
-        batch_size = len(devs)
-        print(f"data-parallel inference over {len(devs)} devices")
+    from dust3r_tpu.parallel.mesh import cli_pair_mesh
+    mesh, batch_size = cli_pair_mesh(args.mesh)
+    if mesh is not None:
+        print(f"data-parallel inference over {batch_size} devices")
     engine = InferenceEngine(model, variables, batch_size=batch_size,
                              mesh=mesh)
 

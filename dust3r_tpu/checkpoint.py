@@ -357,8 +357,11 @@ def to_torch_state_dict(variables, enc_depth=24, dec_depth=12,
                 # refinenet4 takes no residual input, so its resConfUnit1
                 # is dead weight: torch checkpoints carry it, but a flax
                 # INIT tree never instantiates it (converted-from-torch
-                # trees do, and then it round-trips bit-exactly)
-                if unit not in params[f[0]][f"refinenet{k}"]:
+                # trees do, and then it round-trips bit-exactly). ONLY that
+                # case may be absent - any other missing unit is a broken
+                # tree and must raise.
+                if k == 4 and unit == "resConfUnit1" and \
+                        unit not in params[f[0]][f"refinenet{k}"]:
                     continue
                 for c in ("conv1", "conv2"):
                     conv(f"{rf}.{unit}.{c}", f + (f"refinenet{k}", unit, c))

@@ -260,6 +260,8 @@ class AsymmetricCroCo3DStereo(nn.Module):
         """
         shape1 = img1.shape[1:3]
         shape2 = img2.shape[1:3]
+        assert (is_portrait1 is None) == (is_portrait2 is None), \
+            "pass is_portrait flags for BOTH views or neither"
         manyar = is_portrait1 is not None
 
         def swap_pairs(t):

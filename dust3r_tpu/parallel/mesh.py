@@ -130,3 +130,25 @@ def batch_constraint(mesh, batch, batch_axis=0):
             x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(cons, batch)
+
+
+def cli_pair_mesh(n_devices):
+    """Build the --mesh CLI pair-axis mesh: (mesh, batch_size).
+
+    n_devices == 0 -> (None, 1): single-device behavior. Otherwise a 1-D
+    Mesh over the first n_devices devices; raises if the host has fewer
+    (silently under-provisioning would misreport throughput).
+    """
+    if not n_devices:
+        return None, 1
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices > len(devs):
+        raise ValueError(
+            f"--mesh {n_devices} requested but only {len(devs)} devices "
+            f"visible")
+    import numpy as np
+
+    return Mesh(np.array(devs[:n_devices]), ("pairs",)), n_devices

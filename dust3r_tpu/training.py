@@ -330,7 +330,7 @@ _DEVICE_KEYS = ("img", "pts3d", "valid_mask", "camera_pose",
                 "camera_intrinsics", "is_portrait")
 
 
-def add_manyar_flags(view1, view2):
+def add_manyar_flags(view1, view2, force=False):
     """Attach per-sample `is_portrait` flags to BOTH views when either
     contains a portrait-stored sample (true_shape height > width).
 
@@ -338,15 +338,19 @@ def add_manyar_flags(view1, view2):
     (double head pass + per-sample orientation, reference
     dust3r/utils/misc.py:54-100); all-landscape batches keep the plain
     program. Flags are added to both views or neither so the jit-traced
-    batch structure stays consistent.
+    batch structure stays consistent. force=True adds all-False flags
+    even to all-landscape batches (used to keep the accum-scan batch
+    structure uniform when a sibling micro-batch got flags).
     """
     flags = []
     for v in (view1, view2):
-        ts = np.asarray(v.get("true_shape"))
-        if ts is None or ts.ndim != 2:
+        if v.get("true_shape") is None:
+            return view1, view2
+        ts = np.asarray(v["true_shape"])
+        if ts.ndim != 2:
             return view1, view2
         flags.append(ts[:, 0] > ts[:, 1])
-    if any(f.any() for f in flags):
+    if force or any(f.any() for f in flags):
         view1 = dict(view1, is_portrait=flags[0])
         view2 = dict(view2, is_portrait=flags[1])
     return view1, view2
@@ -618,10 +622,7 @@ def train_one_epoch(model, state, step_fn, data_loader, epoch, spec,
         if any("is_portrait" in v1 for v1, _ in sym):
             # batch structure must be uniform across the accum scan: if
             # any micro-batch got ManyAR flags, give all of them flags
-            sym = [(dict(v1, is_portrait=np.asarray(v1["true_shape"])[:, 0]
-                         > np.asarray(v1["true_shape"])[:, 1]),
-                    dict(v2, is_portrait=np.asarray(v2["true_shape"])[:, 0]
-                         > np.asarray(v2["true_shape"])[:, 1]))
+            sym = [add_manyar_flags(v1, v2, force=True)
                    if "is_portrait" not in v1 else (v1, v2)
                    for v1, v2 in sym]
         dev_batch = stack_accum_batches(sym)

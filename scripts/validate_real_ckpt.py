@@ -66,6 +66,15 @@ def main():
 
     ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     sd = {k: np.asarray(v) for k, v in ckpt["model"].items()}
+    # canonicalize the DPT scratch-projection naming: both the attr form
+    # (scratch.layer{k}_rn) and the ModuleList form (scratch.layer_rn.{k-1})
+    # appear in the wild; the converter accepts either but the exporter
+    # emits the attr form, so coverage/round-trip compare in that form
+    for key in list(sd):
+        for idx in range(4):
+            if f"scratch.layer_rn.{idx}" in key:
+                sd[key.replace(f"scratch.layer_rn.{idx}",
+                               f"scratch.layer{idx + 1}_rn")] = sd.pop(key)
     arch = getattr(ckpt.get("args", None), "model", None)
     if arch is None:
         arch = ("AsymmetricCroCo3DStereo(pos_embed='RoPE100', "

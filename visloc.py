@@ -109,12 +109,11 @@ def localize_query(engine, views, conf_thr, pnp_mode, reprojection_error,
             # reference reuses the query transform here, visloc.py:121 -
             # same bucket in practice; per-view is strictly correct)
             m1_orig = np.asarray(geotrf(
-                map_view.get("to_orig", query_view["to_orig"]),
+                map_view["to_orig"],
                 matches_im1.astype(np.float64) + 0.5, norm=True)) - 0.5
             save = (f"{viz_path_prefix}_{map_view.get('idx', 0)}.png"
                     if viz_path_prefix else None)
-            plot_matches(query_view["rgb"], map_view.get("rgb",
-                                                         map_view["rgb_rescaled"]),
+            plot_matches(query_view["rgb"], map_view["rgb"],
                          matches_im0, m1_orig, n_viz=viz_matches,
                          save_path=save)
 
@@ -147,14 +146,8 @@ def main(argv=None):
 
     weights_path = args.weights if args.weights else "naver/" + args.model_name
     model, variables = from_pretrained(weights_path)
-    mesh = None
-    batch_size = 1
-    if args.mesh:
-        import jax
-        from jax.sharding import Mesh
-        devs = jax.devices()[:args.mesh]
-        mesh = Mesh(np.array(devs), ("pairs",))
-        batch_size = len(devs)
+    from dust3r_tpu.parallel.mesh import cli_pair_mesh
+    mesh, batch_size = cli_pair_mesh(args.mesh)
     engine = InferenceEngine(model, variables, batch_size=batch_size,
                              mesh=mesh)
 
