@@ -68,11 +68,16 @@ L21 = L21Loss()
 
 
 class MultiLoss:
-    """Composable loss algebra: `MyLoss1() + 0.1 * MyLoss2()`."""
+    """Composable loss algebra: `MyLoss1() + 0.1 * MyLoss2()`.
 
-    def __init__(self):
-        self._alpha = 1
-        self._loss2 = None
+    A composite is a FLAT list of (weight, leaf) terms (`_terms()`), built
+    up by `*` and `+`; evaluation walks the terms left to right, summing
+    weighted scalars and merging detail dicts. This supports exactly the
+    expression grammar the reference CLI strings use
+    (/root/reference/dust3r/losses.py:64-105) with a different internal
+    representation: leaves subclass MultiLoss and implement
+    compute_loss/get_name; composition never mutates a leaf.
+    """
 
     def compute_loss(self, *args, **kw):
         raise NotImplementedError
@@ -80,44 +85,58 @@ class MultiLoss:
     def get_name(self):
         raise NotImplementedError
 
+    def _terms(self):
+        """[(weight, leaf), ...] of this expression."""
+        return [(1, self)]
+
     def __mul__(self, alpha):
         assert isinstance(alpha, (int, float))
-        res = copy.copy(self)
-        res._alpha = alpha
-        return res
+        return _WeightedSum([(alpha * w, leaf) for w, leaf in self._terms()])
 
     __rmul__ = __mul__
 
-    def __add__(self, loss2):
-        assert isinstance(loss2, MultiLoss)
-        res = cur = copy.copy(self)
-        while cur._loss2 is not None:
-            cur = cur._loss2
-        cur._loss2 = loss2
-        return res
+    def __add__(self, other):
+        assert isinstance(other, MultiLoss)
+        return _WeightedSum(self._terms() + other._terms())
 
     def __repr__(self):
-        name = self.get_name()
-        if self._alpha != 1:
-            name = f"{self._alpha:g}*{name}"
-        if self._loss2:
-            name = f"{name} + {self._loss2}"
-        return name
+        return " + ".join(
+            leaf.get_name() if w == 1 else f"{w:g}*{leaf.get_name()}"
+            for w, leaf in self._terms())
 
     def __call__(self, *args, **kw):
-        loss = self.compute_loss(*args, **kw)
-        if isinstance(loss, tuple):
-            loss, details = loss
-        elif getattr(loss, "ndim", 0) == 0:
-            details = {self.get_name(): loss}
-        else:
-            details = {}
-        loss = loss * self._alpha
-        if self._loss2:
-            loss2, details2 = self._loss2(*args, **kw)
-            loss = loss + loss2
-            details = {**details, **details2}
-        return loss, details
+        total = None
+        details = {}
+        for weight, leaf in self._terms():
+            out = leaf.compute_loss(*args, **kw)
+            if isinstance(out, tuple):
+                value, d = out
+            elif getattr(out, "ndim", 0) == 0:
+                # detail dicts record the UNWEIGHTED leaf value
+                value, d = out, {leaf.get_name(): out}
+            else:
+                value, d = out, {}
+            if isinstance(value, tuple):
+                # structured per-pixel output (reduction='none', e.g. a
+                # ConfLoss pixel term): not summable - must be a lone term
+                assert weight == 1 and len(self._terms()) == 1, \
+                    "per-pixel losses cannot be weighted or summed"
+                total = value
+            else:
+                term = weight * value
+                total = term if total is None else total + term
+            details.update(d)
+        return total, details
+
+
+class _WeightedSum(MultiLoss):
+    """Internal composite node; never constructed by user code directly."""
+
+    def __init__(self, terms):
+        self.terms = list(terms)
+
+    def _terms(self):
+        return self.terms
 
 
 class Criterion:
@@ -130,11 +149,12 @@ class Criterion:
         return f"{type(self).__name__}({self.criterion})"
 
     def with_reduction(self, mode="none"):
-        res = loss = copy.deepcopy(self)
-        while loss is not None:
-            assert isinstance(loss, Criterion)
-            loss.criterion.reduction = mode
-            loss = loss._loss2
+        """Copy of this (possibly composite) pixel loss with every leaf's
+        reduction switched (ConfLoss needs dense per-pixel maps)."""
+        res = copy.deepcopy(self)
+        for _, leaf in res._terms():
+            assert isinstance(leaf, Criterion)
+            leaf.criterion.reduction = mode
         return res
 
 
