@@ -218,7 +218,7 @@ def main():
     # reference recommends for large scenes (complete@50 = 2450 edges
     # would need ~15 GB of observation tensors alone).
     for n, graph, dtypes in ((10, "complete", ("fp32", "bf16")),
-                             (25, "complete", ("fp32",)),
+                             (25, "complete", ("fp32", "bf16")),
                              (50, "swin-3", ("fp32",))):
         try:
             it = bench_aligner_iters_per_sec(n_imgs=n, graph=graph,
@@ -227,7 +227,9 @@ def main():
         except Exception as e:
             log(f"aligner bench n={n} failed: {type(e).__name__}: {e}")
     try:
-        extras["scene_graph_pairs_per_sec"] = round(bench_scene_graph(), 2)
+        # bs=16 measured +2% over 8 on the 90-pair demo workload
+        extras["scene_graph_pairs_per_sec"] = round(
+            bench_scene_graph(batch_size=16), 2)
     except Exception as e:
         log(f"scene-graph bench failed: {type(e).__name__}: {e}")
     value = None
