@@ -24,14 +24,18 @@ import random
 import numpy as np
 import PIL.Image
 
+# the full 51-category training corpus of the paper recipe
+# (reference datasets_preprocess/preprocess_co3d.py:30-42); order matters:
+# the per-category RNG seed is `seed + index` below
 CATEGORIES = [
-    "apple", "backpack", "banana", "baseballbat", "baseballglove", "bench",
-    "bicycle", "bottle", "bowl", "broccoli", "cake", "car", "carrot",
-    "cellphone", "chair", "cup", "donut", "hairdryer", "handbag", "hydrant",
-    "keyboard", "laptop", "microwave", "motorcycle", "mouse", "orange",
-    "parkingmeter", "pizza", "plant", "stopsign", "teddybear", "toaster",
-    "toilet", "toybus", "toyplane", "toytrain", "toytruck", "tv",
-    "umbrella", "vase", "wineglass",
+    "apple", "backpack", "ball", "banana", "baseballbat", "baseballglove",
+    "bench", "bicycle", "book", "bottle", "bowl", "broccoli", "cake", "car",
+    "carrot", "cellphone", "chair", "couch", "cup", "donut", "frisbee",
+    "hairdryer", "handbag", "hotdog", "hydrant", "keyboard", "kite",
+    "laptop", "microwave", "motorcycle", "mouse", "orange", "parkingmeter",
+    "pizza", "plant", "remote", "sandwich", "skateboard", "stopsign",
+    "suitcase", "teddybear", "toaster", "toilet", "toybus", "toyplane",
+    "toytrain", "toytruck", "tv", "umbrella", "vase", "wineglass",
 ]
 SINGLE_SEQUENCE_CATEGORIES = sorted(
     set(CATEGORIES) - {"microwave", "stopsign", "tv"})

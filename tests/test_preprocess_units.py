@@ -45,6 +45,36 @@ class TestCo3dConversions:
         assert K[1, 2] == pytest.approx(H / 2 + 0.2 * H / 2)
         assert K[0, 0] == K[1, 1] == pytest.approx(2.0 * H / 2)
 
+    def test_category_list_matches_paper_recipe(self):
+        """The 51-category Co3D training corpus, pinned against the
+        reference recipe (preprocess_co3d.py:30-42). A silently smaller
+        list would shrink the training distribution."""
+        from datasets_preprocess.preprocess_co3d import (
+            CATEGORIES, SINGLE_SEQUENCE_CATEGORIES)
+
+        assert len(CATEGORIES) == 51
+        assert len(set(CATEGORIES)) == 51
+        for cat in ("ball", "book", "couch", "frisbee", "hotdog", "kite",
+                    "remote", "sandwich", "skateboard", "suitcase"):
+            assert cat in CATEGORIES
+        assert SINGLE_SEQUENCE_CATEGORIES == sorted(
+            set(CATEGORIES) - {"microwave", "stopsign", "tv"})
+        # cross-check the full list against the reference mount if present
+        ref = "/root/reference/datasets_preprocess/preprocess_co3d.py"
+        if osp.exists(ref):
+            import ast
+            with open(ref) as f:
+                tree = ast.parse(f.read())
+            ref_cats = None
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Assign) and any(
+                        getattr(t, "id", "") == "CATEGORIES"
+                        for t in node.targets):
+                    ref_cats = ast.literal_eval(node.value)
+                    break
+            assert ref_cats is not None
+            assert CATEGORIES == ref_cats
+
     def test_load_16bit_png_depth(self, tmp_path):
         """Co3D pngs hold float16 BIT PATTERNS in uint16 channels."""
         import cv2
