@@ -1,8 +1,11 @@
-"""BlendedMVS loader (reference dust3r/datasets/blendedmvs.py).
+"""BlendedMVS loader.
 
-Disk layout: ROOT/blendedmvs_pairs.npy (structured array with seq_high,
-seq_low, img1, img2, score) and per-frame jpg + exr depth + npz cameras
-(R_cam2world, t_cam2world, intrinsics).
+Behavioral contract: /root/reference/dust3r/datasets/blendedmvs.py - the
+pair table is `blendedmvs_pairs.npy` (structured: seq_high/seq_low ids,
+two frame numbers, an overlap score); sequences hash to directories named
+by the 24-hex-digit concatenation of the two ids; train/val split by
+seq_low mod 10 (val keeps every 10th scene). Cameras come as separate
+R/t arrays rather than a 4x4.
 """
 from __future__ import annotations
 
@@ -10,60 +13,47 @@ import os.path as osp
 
 import numpy as np
 
-from .base.base_stereo_view_dataset import BaseStereoViewDataset
+from .base.pair_table_dataset import PairTableDataset
 from ..utils.image import imread_cv2
 
+_SPLIT_MOD = 10  # seq_low % 10 == 0 -> val scene, else train
 
-class BlendedMVS(BaseStereoViewDataset):
+
+class BlendedMVS(PairTableDataset):
     """Outdoor multi-view stereo scenes."""
+
+    dataset_label = "BlendedMVS"
 
     def __init__(self, *args, ROOT, split=None, **kwargs):
         self.ROOT = ROOT
         super().__init__(*args, **kwargs)
-        self._load_data(split)
+        table = np.load(osp.join(ROOT, "blendedmvs_pairs.npy"))
+        if split is not None:
+            in_val = (table["seq_low"] % _SPLIT_MOD) == 0
+            keep = {"train": ~in_val, "val": in_val}
+            if split not in keep:
+                raise ValueError(f"bad split={split}")
+            table = table[keep[split]]
+        self.pairs = table
 
-    def _load_data(self, split):
-        pairs = np.load(osp.join(self.ROOT, "blendedmvs_pairs.npy"))
-        if split is None:
-            selection = slice(None)
-        elif split == "train":
-            selection = (pairs["seq_low"] % 10) > 0  # 90% of scenes
-        elif split == "val":
-            selection = (pairs["seq_low"] % 10) == 0  # 10% of scenes
-        else:
-            raise ValueError(f"bad split={split}")
-        self.pairs = pairs[selection]
-        self.scenes = np.unique(self.pairs["seq_low"])
+    @property
+    def n_scenes(self):
+        return len(np.unique(self.pairs["seq_low"]))
 
-    def __len__(self):
-        return len(self.pairs)
+    def _locate(self, row, rng):
+        seqh, seql, img1, img2, _score = row
+        return f"{seqh:08x}{seql:016x}", [int(img1), int(img2)]
 
-    def get_stats(self):
-        return f"{len(self)} pairs from {len(self.scenes)} scenes"
-
-    def _get_views(self, pair_idx, resolution, rng):
-        seqh, seql, img1, img2, score = self.pairs[pair_idx]
-        seq = f"{seqh:08x}{seql:016x}"
-        seq_path = osp.join(self.ROOT, seq)
-
-        views = []
-        for view_index in [img1, img2]:
-            impath = f"{view_index:08n}"
-            image = imread_cv2(osp.join(seq_path, impath + ".jpg"))
-            depthmap = imread_cv2(osp.join(seq_path, impath + ".exr"))
-            camera_params = np.load(osp.join(seq_path, impath + ".npz"))
-
-            intrinsics = np.float32(camera_params["intrinsics"])
-            camera_pose = np.eye(4, dtype=np.float32)
-            camera_pose[:3, :3] = camera_params["R_cam2world"]
-            camera_pose[:3, 3] = camera_params["t_cam2world"]
-
-            image, depthmap, intrinsics = self._crop_resize_if_necessary(
-                image, depthmap, intrinsics, resolution, rng,
-                info=(seq_path, impath))
-
-            views.append(dict(
-                img=image, depthmap=depthmap, camera_pose=camera_pose,
-                camera_intrinsics=intrinsics, dataset="BlendedMVS",
-                label=osp.relpath(seq_path, self.ROOT), instance=impath))
-        return views
+    def _read_frame(self, label, frame, rng):
+        stem = osp.join(self.ROOT, label, f"{frame:08n}")
+        cam = np.load(stem + ".npz")
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = cam["R_cam2world"]
+        pose[:3, 3] = cam["t_cam2world"]
+        return dict(
+            img=imread_cv2(stem + ".jpg"),
+            depthmap=imread_cv2(stem + ".exr"),
+            camera_pose=pose,
+            camera_intrinsics=np.float32(cam["intrinsics"]),
+            instance=f"{frame:08n}",
+        )

@@ -1,9 +1,16 @@
-"""Habitat loader (reference dust3r/datasets/habitat.py).
+"""Habitat (pre-rendered crossview pairs) loader.
 
-Disk layout: ROOT/Habitat_{size}_scenes_{split}.txt listing scene keys;
-per-view <key>_<i>.jpeg + <key>_<i>_depth.exr +
-<key>_<i>_camera_params.json. View 0 is connected with all other views;
-broken views (non-finite pose) are skipped by advancing to the next index.
+Behavioral contract: /root/reference/dust3r/datasets/habitat.py — each
+scene key names a rendered 5-view fan where view 1 overlaps every other
+view; a sample pairs view 1 with one random view of 2..5; views whose
+stored pose is non-finite (renderer failures) are skipped by walking to
+the next view cyclically.
+
+Disk layout (produced by datasets_preprocess/preprocess_habitat.py):
+  ROOT/Habitat_{size}_scenes_{split}.txt   one scene key per line
+  <scene dir>/<key>_{v}.jpeg               rgb, v in 1..5
+  <scene dir>/<key>_{v}_depth.exr          metric depth
+  <scene dir>/<key>_{v}_camera_params.json intrinsics + R/t cam2world
 """
 from __future__ import annotations
 
@@ -15,64 +22,82 @@ from PIL import Image
 
 from .base.base_stereo_view_dataset import BaseStereoViewDataset
 
+_N_VIEWS = 5  # views per rendered fan; the hub view (file index 1) sees all
+
 
 class Habitat(BaseStereoViewDataset):
+    LAYOUT = dict(
+        img="{key}_{v}.jpeg",
+        depth="{key}_{v}_depth.exr",
+        cam="{key}_{v}_camera_params.json",
+    )
+
     def __init__(self, size, *args, ROOT, **kwargs):
         self.ROOT = ROOT
         super().__init__(*args, **kwargs)
         assert self.split is not None
-        with open(osp.join(self.ROOT,
-                           f"Habitat_{size}_scenes_{self.split}.txt")) as f:
+        index_file = osp.join(ROOT, f"Habitat_{size}_scenes_{self.split}.txt")
+        with open(index_file) as f:
             self.scenes = f.read().splitlines()
-        self.instances = list(range(1, 5))
+        # candidate partners for the hub view: 0-based view slots 1..4
+        self.instances = list(range(1, _N_VIEWS))
 
     def filter_scene(self, label, instance=None):
+        """Restrict to scenes under `label`; an instance string
+        "<subscene>_<view>" additionally pins the partner view."""
         if instance:
-            subscene, instance = instance.split("_")
-            label += "/" + subscene
-            self.instances = [int(instance) - 1]
-        valid = np.bool_([scene.startswith(label) for scene in self.scenes])
-        assert sum(valid), f"no scene was selected for {label=} {instance=}"
-        self.scenes = [s for i, s in enumerate(self.scenes) if valid[i]]
+            subscene, view = instance.split("_")
+            label = f"{label}/{subscene}"
+            self.instances = [int(view) - 1]
+        kept = [s for s in self.scenes if s.startswith(label)]
+        assert kept, f"no scene was selected for {label=} {instance=}"
+        self.scenes = kept
 
-    def _get_views(self, idx, resolution, rng):
-        scene = self.scenes[idx]
-        data_path, key = osp.split(osp.join(self.ROOT, scene))
-        views = []
-        two_random_views = [0, rng.choice(self.instances)]
-        for view_index in two_random_views:
-            # use the next view if this one is broken
-            for ii in range(view_index, view_index + 5):
-                image, depthmap, intrinsics, camera_pose = \
-                    self._load_one_view(data_path, key, ii % 5, resolution, rng)
-                if np.isfinite(camera_pose).all():
-                    break
-            views.append(dict(
-                img=image, depthmap=depthmap, camera_pose=camera_pose,
-                camera_intrinsics=intrinsics, dataset="Habitat",
-                label=osp.relpath(data_path, self.ROOT),
-                instance=f"{key}_{view_index}"))
-        return views
+    def _frame_path(self, kind, scene_dir, key, slot):
+        # slot is 0-based; files are numbered from 1
+        return osp.join(scene_dir,
+                        self.LAYOUT[kind].format(key=key, v=slot + 1))
 
-    def _load_one_view(self, data_path, key, view_index, resolution, rng):
+    def _read_frame(self, scene_dir, key, slot, resolution, rng):
+        """One rendered view -> (view dict, finite-pose flag)."""
         from ..utils.image import imread_cv2
 
-        view_index += 1  # file indices start at 1
-        impath = osp.join(data_path, f"{key}_{view_index}.jpeg")
+        impath = self._frame_path("img", scene_dir, key, slot)
         image = Image.open(impath)
+        depthmap = imread_cv2(self._frame_path("depth", scene_dir, key, slot))
+        with open(self._frame_path("cam", scene_dir, key, slot)) as f:
+            cam = json.load(f)
 
-        depthmap = imread_cv2(
-            osp.join(data_path, f"{key}_{view_index}_depth.exr"))
-
-        with open(osp.join(data_path,
-                           f"{key}_{view_index}_camera_params.json")) as f:
-            camera_params = json.load(f)
-
-        intrinsics = np.float32(camera_params["camera_intrinsics"])
+        intrinsics = np.float32(cam["camera_intrinsics"])
         camera_pose = np.eye(4, dtype=np.float32)
-        camera_pose[:3, :3] = camera_params["R_cam2world"]
-        camera_pose[:3, 3] = camera_params["t_cam2world"]
+        camera_pose[:3, :3] = cam["R_cam2world"]
+        camera_pose[:3, 3] = cam["t_cam2world"]
 
         image, depthmap, intrinsics = self._crop_resize_if_necessary(
             image, depthmap, intrinsics, resolution, rng, info=impath)
-        return image, depthmap, intrinsics, camera_pose
+        view = dict(
+            img=image,
+            depthmap=depthmap,
+            camera_pose=camera_pose,  # cam2world
+            camera_intrinsics=intrinsics,
+            dataset="Habitat",
+            label=osp.relpath(scene_dir, self.ROOT),
+            instance=f"{key}_{slot}",
+        )
+        return view, bool(np.isfinite(camera_pose).all())
+
+    def _get_views(self, idx, resolution, rng):
+        scene_dir, key = osp.split(osp.join(self.ROOT, self.scenes[idx]))
+        pair = (0, rng.choice(self.instances))  # hub + one random partner
+        views = []
+        for slot in pair:
+            # walk forward (cyclically) past any broken renders
+            for step in range(_N_VIEWS):
+                view, ok = self._read_frame(
+                    scene_dir, key, (slot + step) % _N_VIEWS, resolution, rng)
+                if ok:
+                    break
+            # the reference records the REQUESTED slot, not the resolved one
+            view["instance"] = f"{key}_{slot}"
+            views.append(view)
+        return views

@@ -1,7 +1,12 @@
-"""StaticThings3D loader (reference dust3r/datasets/staticthings3d.py).
+"""StaticThings3D loader.
 
-Disk layout: ROOT/staticthings_pairs.npy (scene, seq, cam1, im1, cam2, im2)
-+ TRAIN/<scene>/<seq>/<left|right>/<num>_{clean,final}.jpg, .exr, .npz.
+Behavioral contract: /root/reference/dust3r/datasets/staticthings3d.py -
+pair table `staticthings_pairs.npy` rows are (scene, seq, cam1, im1,
+cam2, im2) with byte-string camera tags; frames live under
+TRAIN/<scene>/<seq:04d>/<left|right>/; each frame exists in a "clean" and
+a "final" render pass (chosen at random per view); depths beyond 200
+units are background and invalidated when mask_bg applies (drawn once per
+pair for 'rand').
 """
 from __future__ import annotations
 
@@ -9,12 +14,17 @@ import os.path as osp
 
 import numpy as np
 
-from .base.base_stereo_view_dataset import BaseStereoViewDataset
+from .base.pair_table_dataset import PairTableDataset
 from ..utils.image import imread_cv2
 
+_CAM_DIR = {b"l": "left", b"r": "right"}
+_FAR_BG = 200  # depth threshold marking renderer background
 
-class StaticThings3D(BaseStereoViewDataset):
+
+class StaticThings3D(PairTableDataset):
     """Synthetic indoor scenes (static FlyingThings3D)."""
+
+    dataset_label = "StaticThings3D"
 
     def __init__(self, ROOT, *args, mask_bg="rand", **kwargs):
         self.ROOT = ROOT
@@ -24,42 +34,26 @@ class StaticThings3D(BaseStereoViewDataset):
         assert self.split is None
         self.pairs = np.load(osp.join(ROOT, "staticthings_pairs.npy"))
 
-    def __len__(self):
-        return len(self.pairs)
-
-    def get_stats(self):
-        return f"{len(self)} pairs"
-
-    def _get_views(self, pair_idx, resolution, rng):
-        scene, seq, cam1, im1, cam2, im2 = self.pairs[pair_idx]
-        seq_path = osp.join("TRAIN", scene.decode("ascii"), f"{seq:04d}")
-
-        views = []
-        mask_bg = (self.mask_bg is True) or \
+    def _locate(self, row, rng):
+        scene, seq, cam1, im1, cam2, im2 = row
+        label = osp.join("TRAIN", scene.decode("ascii"), f"{seq:04d}")
+        # one background-mask draw covers both views of the pair
+        self._mask_bg_now = (self.mask_bg is True) or \
             (self.mask_bg == "rand" and rng.choice(2))
+        return label, [(_CAM_DIR[cam1], int(im1)), (_CAM_DIR[cam2], int(im2))]
 
-        CAM = {b"l": "left", b"r": "right"}
-        for cam, idx in [(CAM[cam1], im1), (CAM[cam2], im2)]:
-            num = f"{idx:04n}"
-            img = num + ("_clean.jpg" if rng.choice(2) else "_final.jpg")
-            image = imread_cv2(osp.join(self.ROOT, seq_path, cam, img))
-            depthmap = imread_cv2(osp.join(self.ROOT, seq_path, cam,
-                                           num + ".exr"))
-            camera_params = np.load(osp.join(self.ROOT, seq_path, cam,
-                                             num + ".npz"))
-
-            intrinsics = camera_params["intrinsics"]
-            camera_pose = camera_params["cam2world"]
-
-            if mask_bg:
-                depthmap[depthmap > 200] = 0  # far background is invalid
-
-            image, depthmap, intrinsics = self._crop_resize_if_necessary(
-                image, depthmap, intrinsics, resolution, rng,
-                info=(seq_path, cam, img))
-
-            views.append(dict(
-                img=image, depthmap=depthmap, camera_pose=camera_pose,
-                camera_intrinsics=intrinsics, dataset="StaticThings3D",
-                label=seq_path, instance=cam + "_" + img))
-        return views
+    def _read_frame(self, label, frame, rng):
+        cam_dir, num = frame
+        render_pass = "clean" if rng.choice(2) else "final"
+        stem = osp.join(self.ROOT, label, cam_dir, f"{num:04n}")
+        cam = np.load(stem + ".npz")
+        depth = imread_cv2(stem + ".exr")
+        if self._mask_bg_now:
+            depth[depth > _FAR_BG] = 0
+        return dict(
+            img=imread_cv2(f"{stem}_{render_pass}.jpg"),
+            depthmap=depth,
+            camera_pose=cam["cam2world"],
+            camera_intrinsics=cam["intrinsics"],
+            instance=f"{cam_dir}_{num:04n}_{render_pass}.jpg",
+        )

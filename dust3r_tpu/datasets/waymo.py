@@ -1,7 +1,9 @@
-"""Waymo Open Dataset loader (reference dust3r/datasets/waymo.py).
+"""Waymo Open Dataset loader.
 
-Disk layout: ROOT/waymo_pairs.npz (scenes, frames, pairs =
-(scene_id, img1_id, img2_id)) + per-frame jpg, exr depth, npz cameras.
+Behavioral contract: /root/reference/dust3r/datasets/waymo.py - one global
+`waymo_pairs.npz` holds the scene-name and frame-name string tables plus
+an integer pair table (scene_id, frame1_id, frame2_id) indexing into them;
+per-frame files are <scene>/<frame>.{jpg,exr,npz} with a 4x4 cam2world.
 """
 from __future__ import annotations
 
@@ -9,53 +11,40 @@ import os.path as osp
 
 import numpy as np
 
-from .base.base_stereo_view_dataset import BaseStereoViewDataset
+from .base.pair_table_dataset import PairTableDataset
 from ..utils.image import imread_cv2
 
 
-class Waymo(BaseStereoViewDataset):
-    """Outdoor street scenes."""
+class Waymo(PairTableDataset):
+    """Outdoor driving scenes."""
+
+    dataset_label = "Waymo"
 
     def __init__(self, *args, ROOT, **kwargs):
         self.ROOT = ROOT
         super().__init__(*args, **kwargs)
-        self._load_data()
+        with np.load(osp.join(ROOT, "waymo_pairs.npz")) as tables:
+            self.scenes = tables["scenes"]
+            self.frames = tables["frames"]
+            self.pairs = tables["pairs"]
+        assert self.pairs[:, 0].max() == len(self.scenes) - 1
 
-    def _load_data(self):
-        with np.load(osp.join(self.ROOT, "waymo_pairs.npz")) as data:
-            self.scenes = data["scenes"]
-            self.frames = data["frames"]
-            self.inv_frames = {frame: i
-                               for i, frame in enumerate(data["frames"])}
-            self.pairs = data["pairs"]
-            assert self.pairs[:, 0].max() == len(self.scenes) - 1
+    @property
+    def n_scenes(self):
+        return len(self.scenes)
 
-    def __len__(self):
-        return len(self.pairs)
+    def _locate(self, row, rng):
+        scene_id, f1, f2 = row
+        return str(self.scenes[scene_id]), [str(self.frames[f1]),
+                                            str(self.frames[f2])]
 
-    def get_stats(self):
-        return f"{len(self)} pairs from {len(self.scenes)} scenes"
-
-    def _get_views(self, pair_idx, resolution, rng):
-        seq, img1, img2 = self.pairs[pair_idx]
-        seq_path = osp.join(self.ROOT, self.scenes[seq])
-
-        views = []
-        for view_index in [img1, img2]:
-            impath = self.frames[view_index]
-            image = imread_cv2(osp.join(seq_path, impath + ".jpg"))
-            depthmap = imread_cv2(osp.join(seq_path, impath + ".exr"))
-            camera_params = np.load(osp.join(seq_path, impath + ".npz"))
-
-            intrinsics = np.float32(camera_params["intrinsics"])
-            camera_pose = np.float32(camera_params["cam2world"])
-
-            image, depthmap, intrinsics = self._crop_resize_if_necessary(
-                image, depthmap, intrinsics, resolution, rng,
-                info=(seq_path, impath))
-
-            views.append(dict(
-                img=image, depthmap=depthmap, camera_pose=camera_pose,
-                camera_intrinsics=intrinsics, dataset="Waymo",
-                label=osp.relpath(seq_path, self.ROOT), instance=impath))
-        return views
+    def _read_frame(self, label, frame, rng):
+        stem = osp.join(self.ROOT, label, frame)
+        cam = np.load(stem + ".npz")
+        return dict(
+            img=imread_cv2(stem + ".jpg"),
+            depthmap=imread_cv2(stem + ".exr"),
+            camera_pose=np.float32(cam["cam2world"]),
+            camera_intrinsics=np.float32(cam["intrinsics"]),
+            instance=frame,
+        )
