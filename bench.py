@@ -138,14 +138,16 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
                                mode=GlobalAlignerMode.PointCloudOptimizer,
                                verbose=False, obs_dtype=obs_dtype)
         t0 = time.perf_counter()
-        params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
+        params, losses = _run_alignment(scene.pts3d_fn, scene.loss_spec,
+                                        dict(scene.params),
                                         dict(scene.masks), lrs,
                                         dict(scene.consts))
         _ = float(losses[-1])
         log(f"aligner[{tag}] compile+first {niter} iters: "
             f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
+        params, losses = _run_alignment(scene.pts3d_fn, scene.loss_spec,
+                                        dict(scene.params),
                                         dict(scene.masks), lrs,
                                         dict(scene.consts))
         _ = float(losses[-1])

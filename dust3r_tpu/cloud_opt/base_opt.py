@@ -10,6 +10,7 @@ Host-side state (edge lists, image shapes, conf maps) stays in numpy.
 from __future__ import annotations
 
 import copy
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -39,6 +40,113 @@ def _as_list(x, n):
         return [np.asarray(v) for v in x]
     x = np.asarray(x)
     return [x[k] for k in range(n)]
+
+
+class AlignerSpec(NamedTuple):
+    """Hashable static description of the alignment loss.
+
+    The scanned optimization (`optimizer._alignment_segment`) is jitted on
+    (pts3d_fn, spec) as static arguments plus the params/consts pytrees -
+    so two scenes with equal specs and equal array SHAPES share one
+    compiled program (same-shape demo scenes no longer pay the 7-44 s
+    first-run compile each). Everything per-scene and numeric lives in
+    `params`/`consts`; everything structural lives here.
+    """
+    dist_mode: str
+    pw_break: float
+    base_scale: float
+    norm_pw_scale: bool
+    edge_chunk: int
+    pose_dim: int
+    focal_break: float = 0.0  # used by the PointCloudOptimizer pts3d_fn
+
+
+def pw_poses_from_params(spec, params):
+    """Per-edge sim(3) matrices from the raw pw_poses rows (reference
+    base_opt.py:150-195: quat+signed-log-t -> RT, exp log-scale, optional
+    global scale normalization around base_scale)."""
+    p = params["pw_poses"]
+    RT = pose_vec_to_matrix(p[:, :spec.pose_dim])
+    scale = jnp.exp(p[:, -1])
+    if spec.norm_pw_scale:
+        scale = scale * jnp.exp(np.log(spec.base_scale) - jnp.mean(p[:, -1]))
+    return RT.at[:, :3].multiply(scale[:, None, None])
+
+
+def adaptors_from_params(spec, params):
+    """Per-edge (sxy, sxy, sz) scale adaptors (reference base_opt.py)."""
+    p = params["pw_adaptors"]
+    adapt = jnp.concatenate([p[:, 0:1], p], axis=-1)
+    if spec.norm_pw_scale:
+        adapt = adapt - jnp.mean(adapt, axis=1, keepdims=True)
+    return jnp.exp(adapt / spec.pw_break)
+
+
+def alignment_loss(pts3d_fn, spec, params, consts):
+    """Confidence-weighted 3D consistency over all edges - the pure
+    function scanned by the jitted Adam loop.
+
+    pts3d_fn(spec, params, consts) -> (N, A, 3) world points per image;
+    pass a MODULE-LEVEL function so the jit cache is keyed on a stable
+    identity (optimizer.pco_depth_to_pts3d for the standard scene).
+    """
+    dist = ALL_DISTS[spec.dist_mode]
+    pw_poses = pw_poses_from_params(spec, params)
+    pw_adapt = adaptors_from_params(spec, params)[:, None, :]  # (E,1,3)
+    proj_pts3d = pts3d_fn(spec, params, consts)  # (N, A, 3)
+
+    f32 = jnp.float32
+
+    def edge_terms(poses, adapt, pred_i, pred_j, w_i, w_j, oh_i, oh_j):
+        # "gather" each edge's image pointmap with an exact 0/1 matmul
+        # (precision=highest keeps the selection bit-exact); the
+        # backward is then a matmul too, instead of a TPU scatter-add
+        proj_i = jnp.einsum("en,nac->eac", oh_i, proj_pts3d,
+                            precision="highest")
+        proj_j = jnp.einsum("en,nac->eac", oh_j, proj_pts3d,
+                            precision="highest")
+        aligned_pred_i = geotrf(poses, adapt * pred_i.astype(f32))
+        aligned_pred_j = geotrf(poses, adapt * pred_j.astype(f32))
+        li = jnp.sum(dist(proj_i, aligned_pred_i, w_i.astype(f32)))
+        lj = jnp.sum(dist(proj_j, aligned_pred_j, w_j.astype(f32)))
+        return li, lj
+
+    E = pw_poses.shape[0]
+    E_pad = consts["stacked_pred_i"].shape[0]
+    chunk = spec.edge_chunk
+    if E_pad > E:
+        # The stacked consts are stored pre-padded to E_pad (chunk
+        # multiple or device-count multiple) with zero-weight edges;
+        # only the (tiny) pose/adaptor stacks are padded here. Padding
+        # poses with identities (NOT zeros: a zero quaternion would
+        # normalize to NaN upstream) keeps the padded terms finite, and
+        # their zero weights exclude them from the sums exactly.
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
+                               (E_pad - E, 4, 4))
+        pw_poses = jnp.concatenate([pw_poses, eye])
+        pw_adapt = jnp.concatenate(
+            [pw_adapt, jnp.ones((E_pad - E, 1, 3), pw_adapt.dtype)])
+    if chunk and E_pad > chunk:
+        # scan over rematerialized edge chunks: peak memory through
+        # forward + backward is O(chunk * A), not O(E * A)
+        K = E_pad // chunk
+        xs = jax.tree.map(
+            lambda t: t.reshape((K, chunk) + t.shape[1:]),
+            (pw_poses, pw_adapt, consts["stacked_pred_i"],
+             consts["stacked_pred_j"], consts["weight_i"],
+             consts["weight_j"], consts["onehot_i"], consts["onehot_j"]))
+
+        def body(acc, args):
+            li, lj = jax.checkpoint(edge_terms)(*args)
+            return (acc[0] + li, acc[1] + lj), None
+
+        (li, lj), _ = jax.lax.scan(body, (jnp.zeros((), f32),) * 2, xs)
+    else:
+        li, lj = edge_terms(pw_poses, pw_adapt, consts["stacked_pred_i"],
+                            consts["stacked_pred_j"], consts["weight_i"],
+                            consts["weight_j"], consts["onehot_i"],
+                            consts["onehot_j"])
+    return (li / consts["total_area_i"] + lj / consts["total_area_j"])
 
 
 def _edge_onehot(indices, n_imgs, e_pad):
@@ -179,6 +287,10 @@ class BasePCOptimizer:
                            for k, v in self.consts.items()}
         self.total_area_i = sum(im_areas[i] for i, j in self.edges)
         self.total_area_j = sum(im_areas[j] for i, j in self.edges)
+        # normalization denominators ride in consts (replicated scalars)
+        # so same-shape scenes with different graphs share one program
+        self.consts["total_area_i"] = jnp.float32(self.total_area_i)
+        self.consts["total_area_j"] = jnp.float32(self.total_area_j)
 
         # per-image max-confidence maps
         self.im_conf = self._compute_img_conf(conf_i, conf_j)
@@ -264,11 +376,8 @@ class BasePCOptimizer:
     # ------------------------------------------------------------------ #
 
     def get_adaptors(self, params=None):
-        p = (params or self.params)["pw_adaptors"]
-        adapt = jnp.concatenate([p[:, 0:1], p], axis=-1)  # (sxy, sxy, sz)
-        if self.norm_pw_scale:
-            adapt = adapt - jnp.mean(adapt, axis=1, keepdims=True)
-        return jnp.exp(adapt / self.pw_break)
+        # (sxy, sxy, sz) per edge
+        return adaptors_from_params(self.loss_spec, params or self.params)
 
     def get_pw_norm_scale_factor(self, params=None):
         if self.norm_pw_scale:
@@ -281,10 +390,7 @@ class BasePCOptimizer:
         return jnp.exp(p[:, -1]) * self.get_pw_norm_scale_factor(params)
 
     def get_pw_poses(self, params=None):
-        p = (params or self.params)["pw_poses"]
-        RT = pose_vec_to_matrix(p[:, :7])
-        scale = self.get_pw_scale(params)
-        return RT.at[:, :3].multiply(scale[:, None, None])
+        return pw_poses_from_params(self.loss_spec, params or self.params)
 
     # ------------------------------------------------------------------ #
     # host-side parameter writes (init & presets)
@@ -344,67 +450,39 @@ class BasePCOptimizer:
     # loss (pure function of params - used by the scan loop and forward)
     # ------------------------------------------------------------------ #
 
+    @property
+    def loss_spec(self):
+        """The static (hashable) half of the loss configuration; the jit
+        cache for the optimization loop is keyed on (pts3d_fn, spec)."""
+        return AlignerSpec(
+            dist_mode=self.dist_mode,
+            pw_break=float(self.pw_break),
+            base_scale=float(self.base_scale),
+            norm_pw_scale=bool(self.norm_pw_scale),
+            edge_chunk=int(self.edge_chunk),
+            pose_dim=int(self.POSE_DIM),
+            focal_break=float(getattr(self, "focal_break", 0.0)),
+        )
+
+    @property
+    def pts3d_fn(self):
+        """Module-level (spec, params, consts) -> (N, A, 3) function used
+        by the pure loss; subclasses override `_PTS3D_FN`. Falls back to
+        wrapping the instance method (per-instance jit key) for exotic
+        subclasses that only define depth_to_pts3d."""
+        fn = getattr(type(self), "_PTS3D_FN", None)
+        if fn is not None:
+            return fn
+        return lambda spec, params, consts: self.depth_to_pts3d(
+            params, consts=consts)
+
     def loss_fn(self, params, consts=None):
         """Confidence-weighted 3D consistency over all edges.
 
         `consts` carries the stacked edge tensors; inside the jitted scan
         loop it is threaded as an argument (never a closure constant)."""
         c = self.consts if consts is None else consts
-        pw_poses = self.get_pw_poses(params)
-        pw_adapt = self.get_adaptors(params)[:, None, :]  # (E,1,3)
-        proj_pts3d = self.depth_to_pts3d(params, consts=c)  # (N, A, 3)
-
-        f32 = jnp.float32
-
-        def edge_terms(poses, adapt, pred_i, pred_j, w_i, w_j, oh_i, oh_j):
-            # "gather" each edge's image pointmap with an exact 0/1 matmul
-            # (precision=highest keeps the selection bit-exact); the
-            # backward is then a matmul too, instead of a TPU scatter-add
-            proj_i = jnp.einsum("en,nac->eac", oh_i, proj_pts3d,
-                                precision="highest")
-            proj_j = jnp.einsum("en,nac->eac", oh_j, proj_pts3d,
-                                precision="highest")
-            aligned_pred_i = geotrf(poses, adapt * pred_i.astype(f32))
-            aligned_pred_j = geotrf(poses, adapt * pred_j.astype(f32))
-            li = jnp.sum(self.dist(proj_i, aligned_pred_i, w_i.astype(f32)))
-            lj = jnp.sum(self.dist(proj_j, aligned_pred_j, w_j.astype(f32)))
-            return li, lj
-
-        E = pw_poses.shape[0]
-        chunk = self.edge_chunk
-        E_pad = getattr(self, "_n_edges_pad", E)
-        if E_pad > E:
-            # The stacked consts are stored pre-padded to E_pad (chunk
-            # multiple or device-count multiple) with zero-weight edges;
-            # only the (tiny) pose/adaptor stacks are padded here. Padding
-            # poses with identities (NOT zeros: a zero quaternion would
-            # normalize to NaN upstream) keeps the padded terms finite, and
-            # their zero weights exclude them from the sums exactly.
-            eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
-                                   (E_pad - E, 4, 4))
-            pw_poses = jnp.concatenate([pw_poses, eye])
-            pw_adapt = jnp.concatenate(
-                [pw_adapt, jnp.ones((E_pad - E, 1, 3), pw_adapt.dtype)])
-        if chunk and E_pad > chunk:
-            # scan over rematerialized edge chunks: peak memory through
-            # forward + backward is O(chunk * A), not O(E * A)
-            K = E_pad // chunk
-            xs = jax.tree.map(
-                lambda t: t.reshape((K, chunk) + t.shape[1:]),
-                (pw_poses, pw_adapt, c["stacked_pred_i"],
-                 c["stacked_pred_j"], c["weight_i"], c["weight_j"],
-                 c["onehot_i"], c["onehot_j"]))
-
-            def body(acc, args):
-                li, lj = jax.checkpoint(edge_terms)(*args)
-                return (acc[0] + li, acc[1] + lj), None
-
-            (li, lj), _ = jax.lax.scan(body, (jnp.zeros((), f32),) * 2, xs)
-        else:
-            li, lj = edge_terms(pw_poses, pw_adapt, c["stacked_pred_i"],
-                                c["stacked_pred_j"], c["weight_i"],
-                                c["weight_j"], c["onehot_i"], c["onehot_j"])
-        return li / self.total_area_i + lj / self.total_area_j
+        return alignment_loss(self.pts3d_fn, self.loss_spec, params, c)
 
     def forward(self):
         return float(self.loss_fn(self.params))

@@ -16,15 +16,34 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .base_opt import BasePCOptimizer, _ravel_pad
+from .base_opt import BasePCOptimizer, _ravel_pad, alignment_loss
 from .commons import make_lr_schedule
 from ..utils.geometry import xy_grid, geotrf
 from ..utils.pose import pose_vec_to_matrix
 
 
+def pco_depth_to_pts3d(spec, params, consts):
+    """World points from the per-image learnables (pure; reference
+    optimizer.py:170-211): exp(log-depth) back-projected through
+    focal/pp and transformed by the per-image pose. Module-level so the
+    jit cache key is stable across scene instances."""
+    focals = jnp.exp(params["im_focals"] / spec.focal_break)  # (N,1|2)
+    pp = consts["pp_base"] + 10 * params["im_pp"]  # (N,2)
+    im_poses = pose_vec_to_matrix(params["im_poses"])  # (N,4,4)
+    depth = jnp.exp(params["im_depthmaps"])  # (N,A)
+    # focals (N,1) broadcasts to fx=fy; (N,2) is per-axis (fx, fy)
+    rel = jnp.concatenate([
+        depth[..., None] * (consts["grid"] - pp[:, None, :])
+        / focals[:, None, :],
+        depth[..., None]], axis=-1)  # (N, A, 3)
+    return geotrf(im_poses, rel)
+
+
 class PointCloudOptimizer(BasePCOptimizer):
     """Adds per-image learnables: log-depthmaps, 7-dof poses, log-focals
     (scaled by focal_break), optional principal points."""
+
+    _PTS3D_FN = staticmethod(pco_depth_to_pts3d)
 
     def __init__(self, *args, optimize_pp=False, focal_break=20,
                  fx_and_fy=False, **kwargs):
@@ -185,37 +204,32 @@ class PointCloudOptimizer(BasePCOptimizer):
                 for n, (h, w) in enumerate(self.imshapes)]
 
     def depth_to_pts3d(self, params=None, consts=None):
-        params = params or self.params
-        c = self.consts if consts is None else consts
-        focals = self.get_focals(params)  # (N,1)
-        pp = self.get_principal_points(params, consts=c)  # (N,2)
-        im_poses = self.get_im_poses(params)  # (N,4,4)
-        depth = self.get_depthmaps(raw=True, params=params)  # (N,A)
-        # focals (N,1) broadcasts to fx=fy; (N,2) is per-axis (fx, fy)
-        rel = jnp.concatenate([
-            depth[..., None] * (c["grid"] - pp[:, None, :])
-            / focals[:, None, :],
-            depth[..., None]], axis=-1)  # (N, A, 3)
-        return geotrf(im_poses, rel)
+        return pco_depth_to_pts3d(self.loss_spec, params or self.params,
+                                  self.consts if consts is None else consts)
 
 
 # ---------------------------------------------------------------------- #
 # the jitted optimization loop
 # ---------------------------------------------------------------------- #
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _alignment_segment(loss_fn, params, opt_state, masks, lrs, consts):
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _alignment_segment(pts3d_fn, spec, params, opt_state, masks, lrs,
+                       consts):
     """Scan Adam(0.9, 0.9) over one segment of the LR schedule.
 
-    Frozen entries receive zero gradient via the masks (their Adam moments
-    stay exactly zero). The stacked edge tensors are threaded through
-    `consts` as jit arguments so they never become XLA program constants.
+    Static args are (pts3d_fn, spec) - module-level function + hashable
+    AlignerSpec - so scenes with the same configuration and shapes hit the
+    jit cache instead of recompiling per instance. Frozen entries receive
+    zero gradient via the masks (their Adam moments stay exactly zero).
+    The stacked edge tensors are threaded through `consts` as jit
+    arguments so they never become XLA program constants.
     """
     opt = optax.scale_by_adam(b1=0.9, b2=0.9)
 
     def step(carry, lr):
         params, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params, consts)
+        loss, grads = jax.value_and_grad(alignment_loss, argnums=2)(
+            pts3d_fn, spec, params, consts)
         grads = jax.tree.map(lambda g, m: g * m, grads, masks)
         updates, opt_state = opt.update(grads, opt_state)
         params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
@@ -228,7 +242,7 @@ def _alignment_segment(loss_fn, params, opt_state, masks, lrs, consts):
 _adam_init = jax.jit(optax.scale_by_adam(b1=0.9, b2=0.9).init)
 
 
-def _run_alignment(loss_fn, params, masks, lrs, consts, segment=100):
+def _run_alignment(pts3d_fn, spec, params, masks, lrs, consts, segment=100):
     """Run the whole Adam schedule as ceil(niter/segment) device scans.
 
     Segmenting bounds each device execution to ~segment iterations: on big
@@ -242,7 +256,8 @@ def _run_alignment(loss_fn, params, masks, lrs, consts, segment=100):
     losses = []
     for s in range(0, len(lrs), segment):
         params, opt_state, seg_losses = _alignment_segment(
-            loss_fn, params, opt_state, masks, lrs[s:s + segment], consts)
+            pts3d_fn, spec, params, opt_state, masks, lrs[s:s + segment],
+            consts)
         losses.append(seg_losses)
     return params, jnp.concatenate(losses) if losses else jnp.zeros((0,))
 
@@ -262,9 +277,9 @@ def global_alignment_loop(scene, lr=0.01, niter=300, schedule="cosine",
         print([k for k, m in scene.masks.items() if np.asarray(m).any()])
 
     lrs = make_lr_schedule(schedule, niter, lr, lr_min)
-    params, losses = _run_alignment(scene.loss_fn, dict(scene.params),
-                                    dict(scene.masks), lrs,
-                                    dict(scene.consts))
+    params, losses = _run_alignment(scene.pts3d_fn, scene.loss_spec,
+                                    dict(scene.params), dict(scene.masks),
+                                    lrs, dict(scene.consts))
     scene.params = params  # stays on device
     scene.last_losses = np.asarray(losses)
     final = float(scene.loss_fn(scene.params))
