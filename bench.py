@@ -248,15 +248,28 @@ def main():
     # Reuse the batch size that worked for the headline - retrying a
     # failed bs costs a full remote compile per bucket.
     if value is not None:
+        from dust3r_tpu.utils.flops import mfu_pct, pair_forward_flops
+
         buckets = {}
+        mfu = {}
         for bh, bw in ((336, 512), (288, 512), (256, 512), (160, 512)):
             try:
-                buckets[f"{bw}x{bh}"] = round(bench_pairs_per_sec(
-                    batch_size=good_bs, H=bh, W=bw, iters=10), 2)
+                pps = bench_pairs_per_sec(batch_size=good_bs, H=bh, W=bw,
+                                          iters=10)
+                buckets[f"{bw}x{bh}"] = round(pps, 2)
+                mfu[f"{bw}x{bh}"] = round(mfu_pct(pps, bh, bw, "dpt"), 1)
             except Exception as e:
                 log(f"bucket {bw}x{bh} failed: {type(e).__name__}: {e}")
         buckets["512x384"] = round(value, 2)
+        mfu["512x384"] = round(mfu_pct(value, 384, 512, "dpt"), 1)
         extras["pairs_per_sec_by_bucket"] = buckets
+        # analytic model-FLOPs utilization vs the v5e nominal bf16 peak
+        # (197 TF/s); FLOPs counted as executed (dense upsample matmuls
+        # at full matmul cost) - see dust3r_tpu/utils/flops.py
+        extras["mfu_pct"] = mfu["512x384"]
+        extras["mfu_pct_by_bucket"] = mfu
+        extras["model_gflop_per_pair"] = round(
+            pair_forward_flops(384, 512, "dpt") / 1e9, 1)
     if value is None:
         print(json.dumps({"metric": "pairs_per_sec_512dpt", "value": 0.0,
                           "unit": "pairs/s/chip", "vs_baseline": 0.0,
