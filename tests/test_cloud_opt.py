@@ -228,6 +228,42 @@ class TestBf16Observations:
         assert angular_error_deg(gt_rel[:3, :3], est_rel[:3, :3]) < 3.0
 
 
+class TestBf16ObsAccuracyDelta:
+    def test_bf16_vs_fp32_obs_deltas(self):
+        """Head-to-head accuracy delta between observation dtypes on the
+        same scene: the quantities users consume (final loss, focals,
+        relative pose angles) must agree closely. This is the evidence
+        backing bf16 as the default obs_dtype (distances are computed
+        fp32 either way; bf16 only stores the frozen observations)."""
+        import jax.numpy as jnp
+
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=4, seed=2)
+        res = {}
+        for dt in (jnp.float32, jnp.bfloat16):
+            scene = global_aligner(
+                out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                verbose=False, obs_dtype=dt)
+            loss = scene.compute_global_alignment(init="mst", niter=150,
+                                                  schedule="cosine", lr=0.01)
+            est = np.asarray(scene.get_im_poses())
+            res[np.dtype(dt).name] = dict(
+                loss=loss,
+                focal_err=np.abs(np.asarray(scene.get_focals()).reshape(-1)
+                                 - focal).max() / focal,
+                pose_err=max(angular_error_deg(
+                    relpose(poses[0], poses[k])[:3, :3],
+                    relpose(est[0], est[k])[:3, :3]) for k in range(1, 4)))
+        a, b = res["float32"], res["bfloat16"]
+        # on a perfectly-consistent synthetic scene fp32 converges to a
+        # near-zero loss FLOOR while bf16 floors at its observation
+        # quantization (~4e-3); the user-visible quantities must match GT
+        # as well as fp32 does (measured 2026-08-17: bf16 0.26%/0.04deg
+        # vs fp32 0.40%/0.06deg - inside optimization noise)
+        assert b["loss"] < 0.01
+        assert b["focal_err"] <= a["focal_err"] + 0.005
+        assert b["pose_err"] <= a["pose_err"] + 0.1
+
+
 class TestEdgeChunking:
     """Above edge_chunk edges, loss_fn scans rematerialized chunks so peak
     HBM stays O(chunk * A). Chunked and unchunked paths must agree on the

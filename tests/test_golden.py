@@ -135,10 +135,14 @@ class TestAlignerTrajectoryGolden:
         from test_cloud_opt import make_synthetic_scene
         from dust3r_tpu.cloud_opt import global_aligner, GlobalAlignerMode
 
+        import jax.numpy as jnp
+
         out, poses, depths, focal = make_synthetic_scene(n_imgs=5, seed=0)
+        # golden recorded with fp32 observations; pin it (bf16 is the
+        # product default, defended by TestBf16ObsAccuracyDelta)
         scene = global_aligner(out,
                                mode=GlobalAlignerMode.PointCloudOptimizer,
-                               verbose=False)
+                               verbose=False, obs_dtype=jnp.float32)
         final = scene.compute_global_alignment(init="mst", niter=300,
                                                schedule="cosine", lr=0.01)
         golden = np.load(osp.join(GOLDEN_DIR, "aligner_trajectory.npz"))
