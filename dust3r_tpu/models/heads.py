@@ -26,7 +26,27 @@ import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange
 
+from ..ops.conv3x3 import conv3x3
+
 Mode = Tuple[str, float, float]
+
+
+class Conv3x3(nn.Module):
+    """3x3 stride-1 same-pad conv with a switchable compute path
+    (ops/conv3x3.py). Parameter names/shapes identical to nn.Conv
+    (kernel (3,3,Cin,Cout) HWIO + bias) so checkpoints are unaffected."""
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        return conv3x3(x.astype(self.dtype), kernel, bias)
 
 
 def reg_dense_depth(xyz, mode: Mode):
@@ -147,11 +167,9 @@ class ResidualConvUnit(nn.Module):
     @nn.compact
     def __call__(self, x):
         out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                      name="conv1")(out)
+        out = Conv3x3(self.features, dtype=self.dtype, name="conv1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                      name="conv2")(out)
+        out = Conv3x3(self.features, dtype=self.dtype, name="conv2")(out)
         return out + x
 
 
@@ -217,8 +235,8 @@ class DPTHead(nn.Module):
                 x = nn.Conv(self.layer_dims[idx], (3, 3), strides=(2, 2),
                             padding=1, dtype=dt, name="act_3_down2")(x)
             # scratch projection to common feature dim
-            x = nn.Conv(self.feature_dim, (3, 3), padding=1, use_bias=False,
-                        dtype=dt, name=f"layer{idx + 1}_rn")(x)
+            x = Conv3x3(self.feature_dim, use_bias=False, dtype=dt,
+                        name=f"layer{idx + 1}_rn")(x)
             layers.append(x)
 
         path4 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet4")(layers[3])
@@ -228,9 +246,10 @@ class DPTHead(nn.Module):
         path1 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet1")(path2, layers[0])
 
         # regression head: conv3x3 -> 2x upsample -> conv3x3 -> relu -> conv1x1
-        out = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, dtype=dt, name="head_conv1")(path1)
+        out = Conv3x3(self.feature_dim // 2, dtype=dt,
+                      name="head_conv1")(path1)
         out = upsample2x_align_corners(out)
-        out = nn.Conv(32, (3, 3), padding=1, dtype=dt, name="head_conv2")(out)
+        out = Conv3x3(32, dtype=dt, name="head_conv2")(out)
         out = nn.relu(out)
         out = nn.Conv(nch, (1, 1), dtype=dt, name="head_conv3")(out)
         out = out.astype(jnp.float32)  # postprocess always fp32
