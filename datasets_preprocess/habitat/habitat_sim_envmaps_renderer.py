@@ -1,9 +1,11 @@
 """Render equirectangular environment maps with habitat-sim (optional dep).
 
 Behavioral contract: /root/reference/datasets_preprocess/habitat/
-habitat_renderer/habitat_sim_envmaps_renderer.py (equirectangular color +
-depth sensors, cubemap-derived depth rescaled to ray distance, navmesh
-loading/recompute, lazy per-process simulator init).
+habitat_renderer/habitat_sim_envmaps_renderer.py — equirectangular color
+(+ optional depth) sensors, optional 6-face cubemap sensors, habitat's
+cubemap-derived "depth" rescaled from axis distance to true ray distance,
+navmesh load-or-recompute, and lazy per-process simulator construction
+(habitat-sim cannot be forked after init).
 """
 import math
 
@@ -11,19 +13,53 @@ import numpy as np
 
 from . import projections
 
-CUBEMAP_FACE_LABELS = ["left", "front", "right", "back", "up", "down"]
-CUBEMAP_FACE_ORIENTATIONS_ROTVEC = [
-    [0, math.pi / 2, 0],
-    [0, 0, 0],
-    [0, -math.pi / 2, 0],
-    [0, math.pi, 0],
-    [math.pi / 2, 0, 0],
-    [-math.pi / 2, 0, 0],
+# (label, rotation-vector) for the six 90-degree cubemap faces
+CUBEMAP_FACES = [
+    ("left", [0, math.pi / 2, 0]),
+    ("front", [0, 0, 0]),
+    ("right", [0, -math.pi / 2, 0]),
+    ("back", [0, math.pi, 0]),
+    ("up", [math.pi / 2, 0, 0]),
+    ("down", [-math.pi / 2, 0, 0]),
 ]
+
+CUBEMAP_FACE_LABELS = [label for label, _ in CUBEMAP_FACES]
 
 
 class NoNaviguableSpaceError(RuntimeError):
     pass
+
+
+def _camera_spec(hs, uuid, kind, resolution, orientation=(0.0, 0.0, 0.0)):
+    spec = hs.CameraSensorSpec()
+    spec.uuid = uuid
+    spec.sensor_type = (hs.SensorType.DEPTH if kind == "depth"
+                        else hs.SensorType.COLOR)
+    spec.resolution = resolution
+    spec.hfov = 90
+    spec.position = [0.0, 0.0, 0.0]
+    spec.orientation = list(orientation)
+    return spec
+
+
+def _equirect_spec(hs, uuid, kind, resolution):
+    spec = hs.bindings.EquirectangularSensorSpec()
+    spec.uuid = uuid
+    if kind == "depth":
+        spec.sensor_type = hs.SensorType.DEPTH
+    spec.resolution = resolution
+    spec.position = [0.0, 0.0, 0.0]
+    return spec
+
+
+def _ray_distance_scale(equirect_resolution):
+    """habitat equirect depth comes from internal cubemap warping and
+    holds per-axis distance; multiplying by 1/max|ray component| converts
+    it to true distance along the ray."""
+    proj = projections.EquirectangularProjection(*equirect_resolution)
+    rays = projections.get_projection_rays(proj)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    return 1.0 / np.max(np.abs(rays), axis=-1)
 
 
 class HabitatEnvironmentMapRenderer:
@@ -40,18 +76,29 @@ class HabitatEnvironmentMapRenderer:
         self.equirectangular_resolution = equirectangular_resolution
         self.equirectangular_projection = \
             projections.EquirectangularProjection(*equirectangular_resolution)
-        rays = projections.get_projection_rays(
-            self.equirectangular_projection)
-        rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
-        # habitat depth comes from internal cubemap warping: rescale to
-        # ray distance
         self.equirectangular_depth_scale_factors = \
-            1.0 / np.max(np.abs(rays), axis=-1)
+            _ray_distance_scale(equirectangular_resolution)
         self.render_cubemap = render_cubemap
         self.cubemap_resolution = cubemap_resolution
         self.render_depth = render_depth
         self.seed = None
         self._lazy_initialization()
+
+    def _sensor_specs(self, hs):
+        kinds = ["color"] + (["depth"] if self.render_depth else [])
+        specs = []
+        if self.render_cubemap:
+            for label, orientation in CUBEMAP_FACES:
+                for kind in kinds:
+                    specs.append(_camera_spec(
+                        hs, f"{kind}_cubemap_{label}", kind,
+                        self.cubemap_resolution, orientation))
+        if self.render_equirectangular:
+            for kind in kinds:
+                specs.append(_equirect_spec(
+                    hs, f"{kind}_equirectangular", kind,
+                    self.equirectangular_resolution))
+        return specs
 
     def _lazy_initialization(self):
         import habitat_sim  # optional host dependency
@@ -60,6 +107,7 @@ class HabitatEnvironmentMapRenderer:
             return
         np.random.seed()
         self.seed = np.random.randint(2 ** 32 - 1)
+
         sim_cfg = habitat_sim.SimulatorConfiguration()
         sim_cfg.scene_id = self.scene
         if self.scene_dataset_config_file:
@@ -69,40 +117,11 @@ class HabitatEnvironmentMapRenderer:
         sim_cfg.load_semantic_mesh = False
         sim_cfg.gpu_device_id = self.gpu_id
 
-        sensors = []
-        if self.render_cubemap:
-            for face_id, orientation in \
-                    enumerate(CUBEMAP_FACE_ORIENTATIONS_ROTVEC):
-                for kind, stype in [("color", habitat_sim.SensorType.COLOR)] \
-                        + ([("depth", habitat_sim.SensorType.DEPTH)]
-                           if self.render_depth else []):
-                    spec = habitat_sim.CameraSensorSpec()
-                    spec.uuid = \
-                        f"{kind}_cubemap_{CUBEMAP_FACE_LABELS[face_id]}"
-                    spec.sensor_type = stype
-                    spec.resolution = self.cubemap_resolution
-                    spec.hfov = 90
-                    spec.position = [0.0, 0.0, 0.0]
-                    spec.orientation = orientation
-                    sensors.append(spec)
-        if self.render_equirectangular:
-            spec = habitat_sim.bindings.EquirectangularSensorSpec()
-            spec.uuid = "color_equirectangular"
-            spec.resolution = self.equirectangular_resolution
-            spec.position = [0.0, 0.0, 0.0]
-            sensors.append(spec)
-            if self.render_depth:
-                spec = habitat_sim.bindings.EquirectangularSensorSpec()
-                spec.uuid = "depth_equirectangular"
-                spec.sensor_type = habitat_sim.SensorType.DEPTH
-                spec.resolution = self.equirectangular_resolution
-                spec.position = [0.0, 0.0, 0.0]
-                sensors.append(spec)
-
         agent_cfg = habitat_sim.agent.AgentConfiguration(
-            sensor_specifications=sensors)
+            sensor_specifications=self._sensor_specs(habitat_sim))
         self.sim = habitat_sim.Simulator(
             habitat_sim.Configuration(sim_cfg, [agent_cfg]))
+
         if self.navmesh:
             self.sim.pathfinder.load_nav_mesh(self.navmesh)
         if not self.sim.pathfinder.is_loaded:
@@ -127,11 +146,12 @@ class HabitatEnvironmentMapRenderer:
         agent_state = habitat_sim.AgentState()
         agent_state.position = viewpoint_position
         self.agent.set_state(agent_state)
-        obs = self.sim.get_sensor_observations(agent_ids=0)
-        if "depth_equirectangular" in obs:
-            obs["depth_equirectangular"] *= \
+        observations = self.sim.get_sensor_observations(agent_ids=0)
+        if "depth_equirectangular" in observations:
+            observations["depth_equirectangular"] *= \
                 self.equirectangular_depth_scale_factors
-        return dict(observations=obs, position=viewpoint_position)
+        return dict(observations=observations,
+                    position=viewpoint_position)
 
     def up_direction(self):
         import habitat_sim
