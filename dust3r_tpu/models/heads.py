@@ -49,6 +49,40 @@ class Conv3x3(nn.Module):
         return conv3x3(x.astype(self.dtype), kernel, bias)
 
 
+class Conv1x1(nn.Module):
+    """1x1 conv as an einsum (a dot hits the MXU properly; XLA's conv op
+    does not). Follows ops/conv3x3.use_fast_dots(): the
+    dot runs at the head dtype on CPU (fp32 - matches the conv to float
+    noise) and on bf16 inputs + fp32 accumulation on TPU, the same
+    numeric class as XLA's TPU conv (which rounds its inputs to bf16
+    internally). Measured: taking the 1x1s off the conv op is the single
+    biggest DPT head win, 135.7 -> 111.9 ms on the full 512_dpt pair
+    forward. Param names/shapes identical to nn.Conv((1,1))."""
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import conv3x3 as convmod
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features))
+        if convmod.use_fast_dots():
+            y = jnp.einsum("bhwc,cn->bhwn", x.astype(jnp.bfloat16),
+                           kernel[0, 0].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            y = jnp.einsum("bhwc,cn->bhwn", x.astype(self.dtype),
+                           kernel[0, 0].astype(self.dtype))
+        y = y.astype(self.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,)).astype(y.dtype)
+        return y
+
+
 def reg_dense_depth(xyz, mode: Mode):
     """Map raw xyz channels to 3D points. mode=('exp', -inf, inf) in all
     published configs: direction * expm1(norm)."""
@@ -131,14 +165,24 @@ def upsample2x_align_corners(x):
     zeros, but on the MXU these run near peak and measure FASTER than the
     O(n) gather+lerp formulation (TPU gathers along spatial axes are slow);
     measured end-to-end: matmul 162 ms/iter vs gather 192 ms/iter on the
-    512x384 DPT pair forward.
+    512x384 DPT pair forward. Under the fast conv impl (ops/conv3x3
+    default != 'ref') the dots run on bf16 inputs with fp32 accumulation -
+    the same numeric class as the surrounding convs.
     """
+    from ..ops import conv3x3 as convmod
+
     B, H, W, C = x.shape
-    mh = _interp_matrix(H, 2 * H, x.dtype)
-    mw = _interp_matrix(W, 2 * W, x.dtype)
-    x = jnp.einsum("oh,bhwc->bowc", mh, x)
-    x = jnp.einsum("ow,bhwc->bhoc", mw, x)
-    return x
+    dt = x.dtype
+    fast = convmod.use_fast_dots() and dt == jnp.float32
+    mdt = jnp.bfloat16 if fast else dt
+    mh = _interp_matrix(H, 2 * H, mdt)
+    mw = _interp_matrix(W, 2 * W, mdt)
+    x = x.astype(mdt)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x,
+                   preferred_element_type=jnp.float32).astype(mdt)
+    x = jnp.einsum("ow,bhwc->bhoc", mw, x,
+                   preferred_element_type=jnp.float32)
+    return x.astype(dt)
 
 
 class _PatchExpand(nn.Module):
@@ -150,13 +194,21 @@ class _PatchExpand(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops import conv3x3 as convmod
+
         B, H, W, Cin = x.shape
         s = self.scale
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (Cin, self.features, s, s))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jnp.einsum("bhwi,ioyx->bhywxo", x, w)
-        y = y.reshape(B, H * s, W * s, self.features) + b
+        dt = x.dtype
+        if convmod.use_fast_dots() and dt == jnp.float32:
+            y = jnp.einsum("bhwi,ioyx->bhywxo", x.astype(jnp.bfloat16),
+                           w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            y = jnp.einsum("bhwi,ioyx->bhywxo", x, w)
+        y = y.astype(dt).reshape(B, H * s, W * s, self.features) + b
         return y
 
 
@@ -189,7 +241,7 @@ class FeatureFusionBlock(nn.Module):
         # commutes exactly with bilinear interpolation (pointwise channel
         # mixing, and the interp rows form a partition of unity so the bias
         # passes through too), so run it at the 4x-cheaper coarse resolution.
-        out = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+        out = Conv1x1(self.features, dtype=self.dtype,
                       name="out_conv")(out)
         out = upsample2x_align_corners(out)
         return out
@@ -225,7 +277,7 @@ class DPTHead(nn.Module):
             t = decout[hook].astype(dt)  # (B, S, D)
             x = t.reshape(t.shape[0], Nh, Nw, t.shape[-1])
             # per-hook projection ("act_postprocess")
-            x = nn.Conv(self.layer_dims[idx], (1, 1), dtype=dt,
+            x = Conv1x1(self.layer_dims[idx], dtype=dt,
                         name=f"act_{idx}_proj")(x)
             if idx == 0:
                 x = _PatchExpand(self.layer_dims[idx], 4, name="act_0_up4")(x)
@@ -251,7 +303,7 @@ class DPTHead(nn.Module):
         out = upsample2x_align_corners(out)
         out = Conv3x3(32, dtype=dt, name="head_conv2")(out)
         out = nn.relu(out)
-        out = nn.Conv(nch, (1, 1), dtype=dt, name="head_conv3")(out)
+        out = Conv1x1(nch, dtype=dt, name="head_conv3")(out)
         out = out.astype(jnp.float32)  # postprocess always fp32
 
         return postprocess(out, self.depth_mode,

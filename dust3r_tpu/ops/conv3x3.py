@@ -170,17 +170,41 @@ def conv3x3_tapcat(x, w, b=None):
     return y
 
 
-# process-wide default used when impl is not passed explicitly; 'ref'
-# (the XLA conv op) unless overridden - the alternatives are selected
-# per-deployment after in-graph measurement (scripts/exp_conv*_r3.py)
-_DEFAULT_IMPL = os.environ.get("DUST3R_TPU_CONV3X3", "ref")
+# process-wide impl override; None = auto. Final round-3 measurement
+# (single process, 512_dpt pair forward B=8): the XLA conv op is the
+# best 3x3 path (111.9 ms) - tapcat 114.2, pallas 182 - ONCE the 1x1
+# convs are taken off the conv op (Conv1x1 einsum in models/heads.py:
+# 135.7 -> 111.9 ms, the single biggest head win). So auto = 'ref'
+# everywhere; 'tapcat'/'pallas' stay selectable via env
+# DUST3R_TPU_CONV3X3 or set_default_impl for future re-measurement.
+_DEFAULT_IMPL = os.environ.get("DUST3R_TPU_CONV3X3") or None
+
+
+def current_impl():
+    """The conv impl in effect ('ref'|'pallas'|'tapcat')."""
+    return _DEFAULT_IMPL or "ref"
+
+
+def use_fast_dots():
+    """bf16 inputs (+ fp32 accumulation) for the heads' pointwise dots
+    (Conv1x1, upsample matmuls, PatchExpand). True on TPU - where the
+    conv op already rounds its inputs to bf16 internally (measured rel
+    err 2.1e-3, exp_convprec_r3), so this changes nothing numerically
+    while hitting the fast MXU path - or when a non-ref conv impl is
+    forced. CPU keeps full fp32 (golden/parity environment)."""
+    if _DEFAULT_IMPL and _DEFAULT_IMPL != "ref":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def set_default_impl(impl):
-    """Override the process-wide conv impl ('ref'|'pallas'|'tapcat').
-    Affects subsequently TRACED programs only."""
+    """Override the process-wide conv impl ('ref'|'pallas'|'tapcat', or
+    None for auto). Affects subsequently TRACED programs only."""
     global _DEFAULT_IMPL
-    assert impl in ("ref", "pallas", "tapcat")
+    assert impl in ("ref", "pallas", "tapcat", None)
     _DEFAULT_IMPL = impl
 
 
@@ -191,7 +215,7 @@ def conv3x3(x, w, b=None, impl=None):
     or 'tapcat'.
     """
     if impl is None:
-        impl = _DEFAULT_IMPL
+        impl = current_impl()
     if impl == "pallas" and jax.default_backend() != "tpu" \
             and not _INTERPRET:
         impl = "ref"  # the kernel only serves TPU
