@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .commons import (ALL_DISTS, compute_edge_scores, edge_str, get_conf_trf,
-                      get_imshapes)
+                      get_conf_trf_np, get_imshapes)
 from ..utils.geometry import xy_grid, geotrf, inv
 from ..utils.pose import (matrix_to_pose_vec, pose_vec_to_matrix,
                           quat_normalize, signed_expm1)
@@ -244,9 +244,13 @@ class BasePCOptimizer:
 
         # stacked device tensors, kept in a consts pytree that is passed as
         # a jit ARGUMENT to the optimization loop (closing over them would
-        # bake hundreds of MB of constants into the XLA program)
-        w_i = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_i]
-        w_j = [np.asarray(self.conf_trf(jnp.asarray(c))) for c in conf_j]
+        # bake hundreds of MB of constants into the XLA program).
+        # conf transforms run on HOST numpy: one device call per edge costs
+        # a tunnel dispatch round trip each (~minutes of scene build at
+        # 600 edges); the numpy twin computes the same values
+        trf_np = get_conf_trf_np(conf)
+        w_i = [trf_np(np.asarray(c, np.float32)) for c in conf_i]
+        w_j = [trf_np(np.asarray(c, np.float32)) for c in conf_j]
         odt = self.obs_dtype
         # when the edge axis will be scanned in chunks (E > edge_chunk), the
         # stacked tensors are padded HERE to a chunk multiple with zero-weight

@@ -46,6 +46,23 @@ def get_conf_trf(mode):
     raise ValueError(f"bad conf mode {mode}")
 
 
+def get_conf_trf_np(mode):
+    """Host-numpy twin of get_conf_trf: scene construction transforms one
+    array per edge, and doing that on device costs a dispatch round trip
+    each (minutes of build time on tunneled chips at 600 edges)."""
+    import numpy as np
+
+    if mode == "log":
+        return np.log
+    if mode == "sqrt":
+        return np.sqrt
+    if mode == "m1":
+        return lambda x: x - 1
+    if mode in ("id", "none"):
+        return lambda x: x
+    raise ValueError(f"bad conf mode {mode}")
+
+
 def l2_dist(a, b, weight):
     return jnp.sum(jnp.square(a - b), axis=-1) * weight
 

@@ -227,8 +227,8 @@ def time_step(vg, params, consts, iters=8, rounds=3):
 def main():
     print("devices:", jax.devices(), flush=True)
     ref_grads = {}
-    for obs_name, obs_dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
-        for chunk in (64, 128, 256):
+    for obs_name, obs_dtype in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
+        for chunk in (128, 256):
             try:
                 scene = make_scene(obs_dtype, chunk)
             except Exception as e:
