@@ -82,71 +82,126 @@ def adaptors_from_params(spec, params):
     return jnp.exp(adapt / spec.pw_break)
 
 
+def _pose_stacks(spec, params, e_pad):
+    """Per-edge pose/adaptor stacks, padded to the stored edge count.
+
+    The stacked consts are stored pre-padded (chunk multiple or
+    device-count multiple) with zero-weight edges; only the (tiny)
+    pose/adaptor stacks are padded here. Padding poses with identities
+    (NOT zeros: a zero quaternion would normalize to NaN upstream) keeps
+    the padded terms finite, and their zero weights exclude them from
+    the sums exactly."""
+    pw_poses = pw_poses_from_params(spec, params)
+    pw_adapt = adaptors_from_params(spec, params)[:, None, :]  # (E,1,3)
+    E = pw_poses.shape[0]
+    if e_pad > E:
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
+                               (e_pad - E, 4, 4))
+        pw_poses = jnp.concatenate([pw_poses, eye])
+        pw_adapt = jnp.concatenate(
+            [pw_adapt, jnp.ones((e_pad - E, 1, 3), pw_adapt.dtype)])
+    return pw_poses, pw_adapt
+
+
+def _edge_term(spec, consts, poses, adapt, proj, pred_i, pred_j, w_i, w_j,
+               oh_i, oh_j):
+    """Normalized loss contribution of one edge block (or all edges).
+
+    The per-edge image pointmaps are "gathered" with an exact 0/1 matmul
+    (precision=highest keeps the selection bit-exact): measured at both
+    n=10 and n=25, the backward-of-gather scatter-add is 2-3x slower on
+    TPU than the pair of matmuls, and jnp.take forward is worse still
+    (scripts/exp_align_r3.py)."""
+    dist = ALL_DISTS[spec.dist_mode]
+    f32 = jnp.float32
+    proj_i = jnp.einsum("en,nac->eac", oh_i, proj, precision="highest")
+    proj_j = jnp.einsum("en,nac->eac", oh_j, proj, precision="highest")
+    aligned_pred_i = geotrf(poses, adapt * pred_i.astype(f32))
+    aligned_pred_j = geotrf(poses, adapt * pred_j.astype(f32))
+    li = jnp.sum(dist(proj_i, aligned_pred_i, w_i.astype(f32)))
+    lj = jnp.sum(dist(proj_j, aligned_pred_j, w_j.astype(f32)))
+    return li / consts["total_area_i"] + lj / consts["total_area_j"]
+
+
+def _chunked_xs(spec, consts, pw_poses, pw_adapt, e_pad):
+    K = e_pad // spec.edge_chunk
+    return jax.tree.map(
+        lambda t: t.reshape((K, spec.edge_chunk) + t.shape[1:]),
+        (pw_poses, pw_adapt, consts["stacked_pred_i"],
+         consts["stacked_pred_j"], consts["weight_i"],
+         consts["weight_j"], consts["onehot_i"], consts["onehot_j"]))
+
+
 def alignment_loss(pts3d_fn, spec, params, consts):
     """Confidence-weighted 3D consistency over all edges - the pure
-    function scanned by the jitted Adam loop.
+    function behind forward() and the non-chunked optimization.
 
     pts3d_fn(spec, params, consts) -> (N, A, 3) world points per image;
     pass a MODULE-LEVEL function so the jit cache is keyed on a stable
     identity (optimizer.pco_depth_to_pts3d for the standard scene).
     """
-    dist = ALL_DISTS[spec.dist_mode]
-    pw_poses = pw_poses_from_params(spec, params)
-    pw_adapt = adaptors_from_params(spec, params)[:, None, :]  # (E,1,3)
-    proj_pts3d = pts3d_fn(spec, params, consts)  # (N, A, 3)
-
-    f32 = jnp.float32
-
-    def edge_terms(poses, adapt, pred_i, pred_j, w_i, w_j, oh_i, oh_j):
-        # "gather" each edge's image pointmap with an exact 0/1 matmul
-        # (precision=highest keeps the selection bit-exact); the
-        # backward is then a matmul too, instead of a TPU scatter-add
-        proj_i = jnp.einsum("en,nac->eac", oh_i, proj_pts3d,
-                            precision="highest")
-        proj_j = jnp.einsum("en,nac->eac", oh_j, proj_pts3d,
-                            precision="highest")
-        aligned_pred_i = geotrf(poses, adapt * pred_i.astype(f32))
-        aligned_pred_j = geotrf(poses, adapt * pred_j.astype(f32))
-        li = jnp.sum(dist(proj_i, aligned_pred_i, w_i.astype(f32)))
-        lj = jnp.sum(dist(proj_j, aligned_pred_j, w_j.astype(f32)))
-        return li, lj
-
-    E = pw_poses.shape[0]
-    E_pad = consts["stacked_pred_i"].shape[0]
+    e_pad = consts["stacked_pred_i"].shape[0]
+    pw_poses, pw_adapt = _pose_stacks(spec, params, e_pad)
+    proj = pts3d_fn(spec, params, consts)  # (N, A, 3)
     chunk = spec.edge_chunk
-    if E_pad > E:
-        # The stacked consts are stored pre-padded to E_pad (chunk
-        # multiple or device-count multiple) with zero-weight edges;
-        # only the (tiny) pose/adaptor stacks are padded here. Padding
-        # poses with identities (NOT zeros: a zero quaternion would
-        # normalize to NaN upstream) keeps the padded terms finite, and
-        # their zero weights exclude them from the sums exactly.
-        eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
-                               (E_pad - E, 4, 4))
-        pw_poses = jnp.concatenate([pw_poses, eye])
-        pw_adapt = jnp.concatenate(
-            [pw_adapt, jnp.ones((E_pad - E, 1, 3), pw_adapt.dtype)])
-    if chunk and E_pad > chunk:
+    if chunk and e_pad > chunk:
         # scan over rematerialized edge chunks: peak memory through
         # forward + backward is O(chunk * A), not O(E * A)
-        K = E_pad // chunk
-        xs = jax.tree.map(
-            lambda t: t.reshape((K, chunk) + t.shape[1:]),
-            (pw_poses, pw_adapt, consts["stacked_pred_i"],
-             consts["stacked_pred_j"], consts["weight_i"],
-             consts["weight_j"], consts["onehot_i"], consts["onehot_j"]))
+        xs = _chunked_xs(spec, consts, pw_poses, pw_adapt, e_pad)
 
         def body(acc, args):
-            li, lj = jax.checkpoint(edge_terms)(*args)
-            return (acc[0] + li, acc[1] + lj), None
+            term = jax.checkpoint(
+                lambda *a: _edge_term(spec, consts, a[0], a[1], proj,
+                                      *a[2:]))(*args)
+            return acc + term, None
 
-        (li, lj), _ = jax.lax.scan(body, (jnp.zeros((), f32),) * 2, xs)
-    else:
-        li, lj = edge_terms(pw_poses, pw_adapt, consts["stacked_pred_i"],
-                            consts["stacked_pred_j"], consts["weight_i"],
-                            consts["weight_j"], consts["onehot_i"],
-                            consts["onehot_j"])
-    return (li / consts["total_area_i"] + lj / consts["total_area_j"])
+        loss, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
+        return loss
+    return _edge_term(spec, consts, pw_poses, pw_adapt, proj,
+                      consts["stacked_pred_i"], consts["stacked_pred_j"],
+                      consts["weight_i"], consts["weight_j"],
+                      consts["onehot_i"], consts["onehot_j"])
+
+
+def alignment_value_and_grad(pts3d_fn, spec, params, consts):
+    """(loss, grads) in a single pass over the edges.
+
+    For chunked scenes the scan computes each chunk's loss AND gradient
+    contribution inline (one forward per chunk instead of the
+    jax.checkpoint fwd+recompute+bwd - measured +39% it/s at n=25/600
+    edges, scripts/exp_align_r3.py). Gradients w.r.t. the shared
+    per-image points accumulate across chunks and flow back through
+    pts3d_fn once via jax.vjp.
+    """
+    e_pad = consts["stacked_pred_i"].shape[0]
+    chunk = spec.edge_chunk
+    if not (chunk and e_pad > chunk):
+        return jax.value_and_grad(alignment_loss, argnums=2)(
+            pts3d_fn, spec, params, consts)
+
+    def stage1(params):
+        pw_poses, pw_adapt = _pose_stacks(spec, params, e_pad)
+        return pw_poses, pw_adapt, pts3d_fn(spec, params, consts)
+
+    (pw_poses, pw_adapt, proj), vjp1 = jax.vjp(stage1, params)
+    xs = _chunked_xs(spec, consts, pw_poses, pw_adapt, e_pad)
+
+    def chunk_term(poses, adapt, proj, *obs):
+        return _edge_term(spec, consts, poses, adapt, proj, *obs)
+
+    def body(acc, args):
+        loss_acc, gproj_acc = acc
+        poses_c, adapt_c, *obs = args
+        l, (gp, ga, gproj) = jax.value_and_grad(
+            chunk_term, argnums=(0, 1, 2))(poses_c, adapt_c, proj, *obs)
+        return (loss_acc + l, gproj_acc + gproj), (gp, ga)
+
+    (loss, gproj), (gposes, gadapt) = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros_like(proj)), xs)
+    gposes = gposes.reshape((e_pad,) + gposes.shape[2:])
+    gadapt = gadapt.reshape((e_pad,) + gadapt.shape[2:])
+    (gparams,) = vjp1((gposes, gadapt, gproj))
+    return loss, gparams
 
 
 def _edge_onehot(indices, n_imgs, e_pad):

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .base_opt import BasePCOptimizer, _ravel_pad, alignment_loss
+from .base_opt import (BasePCOptimizer, _ravel_pad, alignment_loss,
+                       alignment_value_and_grad)
 from .commons import make_lr_schedule
 from ..utils.geometry import xy_grid, geotrf
 from ..utils.pose import pose_vec_to_matrix
@@ -228,8 +229,8 @@ def _alignment_segment(pts3d_fn, spec, params, opt_state, masks, lrs,
 
     def step(carry, lr):
         params, opt_state = carry
-        loss, grads = jax.value_and_grad(alignment_loss, argnums=2)(
-            pts3d_fn, spec, params, consts)
+        loss, grads = alignment_value_and_grad(pts3d_fn, spec, params,
+                                               consts)
         grads = jax.tree.map(lambda g, m: g * m, grads, masks)
         updates, opt_state = opt.update(grads, opt_state)
         params = jax.tree.map(lambda p, u: p - lr * u, params, updates)

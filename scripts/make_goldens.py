@@ -82,8 +82,10 @@ def make_aligner_golden():
     from dust3r_tpu.cloud_opt import global_aligner, GlobalAlignerMode
 
     out, poses, depths, focal = make_synthetic_scene(n_imgs=5, seed=0)
+    # fp32 observations: the golden pins exact-reference numerics (bf16
+    # is the product default, defended by its own accuracy-delta test)
     scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
-                           verbose=False)
+                           verbose=False, obs_dtype=jnp.float32)
     final = scene.compute_global_alignment(init="mst", niter=300,
                                            schedule="cosine", lr=0.01)
     losses = np.asarray(scene.last_losses)
