@@ -52,9 +52,13 @@ def _tap_kernel(x0_ref, x1_ref, x2_ref, w_ref, o_ref):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _pick_rows(total_rows, w, cin, budget=6 * 1024 * 1024):
-    """Rows per program: ~budget bytes of bf16 input per tap block."""
-    rows = max(1, budget // (w * cin * 2))
+def _pick_rows(total_rows, w, cin, cout, budget=12 * 1024 * 1024):
+    """Rows per grid program, sized against the SCOPED vmem budget: the
+    three tap blocks + the (rows, W, 3*Cout) output, each double-buffered
+    (the first probe OOM'd the 16M scoped limit with input-only sizing,
+    and oversized blocks additionally caused register-spill blowups)."""
+    per_row = w * (3 * cin + 3 * cout) * 2 * 2
+    rows = max(1, budget // per_row)
     while total_rows % rows:
         rows -= 1
     return rows
@@ -71,7 +75,7 @@ def conv3x3_pallas(x, w):
     wcat = w.astype(jnp.bfloat16).transpose(1, 2, 0, 3).reshape(
         3, Cin, 3 * Cout)
     R = B * H
-    Tr = _pick_rows(R, W, Cin)
+    Tr = _pick_rows(R, W, Cin, Cout)
     tap_spec = pl.BlockSpec((Tr, W, Cin), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     Z = pl.pallas_call(
@@ -87,6 +91,10 @@ def conv3x3_pallas(x, w):
             flops=2 * R * W * 3 * Cin * 3 * Cout,
             bytes_accessed=3 * R * W * Cin * 2 + R * W * 3 * Cout * 2,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*taps, wcat)
     Z = Z.reshape(B, H, W, 3 * Cout)
