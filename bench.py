@@ -95,6 +95,35 @@ def bench_pairs_per_sec(batch_size=8, H=384, W=512, iters=20, warmup=3):
     return pairs_per_sec
 
 
+def bench_chip_gemm_tf_s(n=8192, iters=20):
+    """Chip-state yardstick: sustained bf16 8192^3 gemm TF/s.
+
+    The tunneled v5e has been measured at BOTH ~213 TF/s and ~154 TF/s on
+    this exact program hours apart (clock/throttle state; the wedge
+    tail CLAUDE.md warns about). Reporting the yardstick next to the
+    model numbers makes cross-run comparisons interpretable: pairs/s
+    scales with it (128.3 vs 112.1 ms/iter on an identical binary)."""
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(0)
+    a = jax.random.normal(k, (n, n), jnp.bfloat16)
+    f = jax.jit(lambda a, b: a @ b)
+    c = f(a, a)
+    _ = float(jnp.sum(c[:1, :1]))
+    for _i in range(3):
+        c = f(a, c)
+    _ = float(jnp.sum(c[:1, :1]))
+    best = float("inf")
+    for _r in range(3):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            c = f(a, c)
+        _ = float(jnp.sum(c[:1, :1]))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return 2 * n ** 3 / best / 1e12
+
+
 def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
                                 graph="complete", dtypes=("fp32", "bf16")):
     """Global-alignment iterations/sec on a synthetic n-image scene.
@@ -215,6 +244,13 @@ def main():
     import jax
     log(f"devices: {jax.devices()}")
     extras = {}
+    try:
+        tf_s = bench_chip_gemm_tf_s()
+        extras["chip_gemm_tf_s"] = round(tf_s, 1)
+        log(f"chip gemm yardstick: {tf_s:.1f} TF/s "
+            f"(measured range on this chip: ~154-213)")
+    except Exception as e:
+        log(f"gemm yardstick failed: {type(e).__name__}: {e}")
     # aligner at the scales the demo actually sees (VERDICT r1 item 5):
     # complete graphs at 10/25 images; 50 images uses the swin graph the
     # reference recommends for large scenes (complete@50 = 2450 edges

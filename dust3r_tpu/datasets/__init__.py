@@ -30,9 +30,16 @@ DATASET_CLASSES = dict(Co3d=Co3d, WildRGBD=WildRGBD, ARKitScenes=ARKitScenes,
 
 
 def build_dataset(dataset_str):
-    """Evaluate the dataset DSL in a restricted namespace."""
+    """Evaluate the dataset DSL in a restricted namespace.
+
+    Besides the dataset classes, the namespace carries the transform
+    names the reference configs use bare (`transform=ColorJitter`,
+    reference datasets/__init__.py:3 star-imports them)."""
+    from .utils.transforms import TRANSFORM_DSL_NAMES
+
     namespace = {"__builtins__": {}}
     namespace.update(DATASET_CLASSES)
+    namespace.update(TRANSFORM_DSL_NAMES)
     return eval(dataset_str, namespace)  # noqa: S307 - restricted namespace
 
 

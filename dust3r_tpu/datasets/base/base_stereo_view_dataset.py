@@ -26,8 +26,8 @@ class BaseStereoViewDataset(EasyDataset):
         self.split = split
         self._set_resolutions(resolution)
         if isinstance(transform, str):
-            from ..utils import transforms as _t
-            transform = getattr(_t, transform.replace("+", "And"), ImgNorm)
+            from ..utils.transforms import TRANSFORM_DSL_NAMES
+            transform = TRANSFORM_DSL_NAMES[transform]
         self.transform = transform
         self.aug_crop = aug_crop
         self.seed = seed

@@ -67,3 +67,13 @@ class ColorJitter:
 
 def ColorJitterAndNorm(img, rng=None):
     return ImgNorm(ColorJitter(rng=rng)(img))
+
+
+# Names accepted by the dataset DSL (reference train configs say e.g.
+# `Co3d(..., transform=ColorJitter)`; in the reference namespace that
+# name is the COMPOSED jitter+ImgNorm transform, transforms.py:12-14).
+TRANSFORM_DSL_NAMES = {
+    "ImgNorm": ImgNorm,
+    "ColorJitter": ColorJitterAndNorm,
+    "ColorJitter+ImgNorm": ColorJitterAndNorm,
+}

@@ -133,6 +133,23 @@ class TestBaseStereoViewDataset:
             h, w = v["true_shape"]
             assert (h, w) == (64, 48) or (h, w) == (48, 64)
 
+    def test_transform_dsl_names(self):
+        # reference train configs say `transform=ColorJitter` BARE in the
+        # dataset DSL (reference datasets/__init__.py:3 star-imports the
+        # transforms into the eval namespace); `ColorJitter` there is the
+        # COMPOSED jitter+ImgNorm. Pin both the namespace and semantics.
+        from dust3r_tpu.datasets.utils.transforms import (
+            ColorJitterAndNorm, ImgNorm)
+        assert build_dataset("ColorJitter") is ColorJitterAndNorm
+        assert build_dataset("ImgNorm") is ImgNorm
+        # string form on the dataset ctor (both spellings)
+        for s in ("ColorJitter", "ColorJitter+ImgNorm"):
+            ds = SyntheticViews(n=2, resolution=(64, 48), seed=1, transform=s)
+            assert ds.transform is ColorJitterAndNorm
+            v = ds[0][0]  # jitter+norm output stays normalized float32
+            assert v["img"].dtype == np.float32
+            assert v["img"].min() >= -1.001 and v["img"].max() <= 1.001
+
     def test_pts3d_consistency(self):
         ds = SyntheticViews(n=2, resolution=(64, 48), seed=3)
         v = ds[0][0]
