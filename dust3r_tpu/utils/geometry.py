@@ -132,29 +132,36 @@ def depthmap_to_pts3d(depth, pseudo_focal, pp=None):
 def depthmap_to_camera_coordinates(depthmap, camera_intrinsics):
     """(H,W) depth + 3x3 K -> (H,W,3) camera points and validity mask.
 
-    Host/numpy-friendly, matches reference dust3r/utils/geometry.py:162-191.
+    PURE NUMPY on purpose: every caller is host-side (the data loader's
+    per-sample path, viz, PairViewer, visloc datasets) and a jnp version
+    costs ~15 tunnel dispatches PER TRAINING SAMPLE on the real TPU,
+    serialized behind the training step's device queue (measured: the
+    sustained-training run collapsed to 5.6 s/step loader-bound).
+    Matches reference dust3r/utils/geometry.py:162-191.
     """
-    K = jnp.asarray(camera_intrinsics, dtype=jnp.float32)
-    depthmap = jnp.asarray(depthmap)
+    K = np.asarray(camera_intrinsics, dtype=np.float32)
+    depthmap = np.asarray(depthmap)
     H, W = depthmap.shape
     fu, fv = K[0, 0], K[1, 1]
     cu, cv = K[0, 2], K[1, 2]
-    grid = xy_grid(W, H, dtype=depthmap.dtype)
-    x = (grid[..., 0] - cu) * depthmap / fu
-    y = (grid[..., 1] - cv) * depthmap / fv
-    X_cam = jnp.stack([x, y, depthmap], axis=-1).astype(jnp.float32)
+    gx, gy = np.meshgrid(np.arange(W, dtype=depthmap.dtype),
+                         np.arange(H, dtype=depthmap.dtype), indexing="xy")
+    x = (gx - cu) * depthmap / fu
+    y = (gy - cv) * depthmap / fv
+    X_cam = np.stack([x, y, depthmap], axis=-1).astype(np.float32)
     valid_mask = depthmap > 0.0
     return X_cam, valid_mask
 
 
 def depthmap_to_absolute_camera_coordinates(depthmap, camera_intrinsics, camera_pose):
-    """Same as above but also applies cam2world pose (reference :194-213)."""
+    """Same as above but also applies cam2world pose (reference :194-213).
+    Host/numpy like its sibling above."""
     X_cam, valid_mask = depthmap_to_camera_coordinates(depthmap, camera_intrinsics)
     if camera_pose is None:
         return X_cam, valid_mask
-    camera_pose = jnp.asarray(camera_pose, dtype=jnp.float32)
+    camera_pose = np.asarray(camera_pose, dtype=np.float32)
     R, t = camera_pose[:3, :3], camera_pose[:3, 3]
-    X_world = jnp.einsum("ik,vuk->vui", R, X_cam) + t
+    X_world = np.einsum("ik,vuk->vui", R, X_cam) + t
     return X_world, valid_mask
 
 
