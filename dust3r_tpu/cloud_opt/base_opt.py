@@ -234,7 +234,7 @@ class BasePCOptimizer:
                  seed=0,
                  verbose=True,
                  obs_dtype=jnp.bfloat16,
-                 edge_chunk=128,
+                 edge_chunk=64,
                  mesh=None,
                  **_ignored):
         self.verbose = verbose
@@ -248,7 +248,9 @@ class BasePCOptimizer:
         # above this many edges the loss scans rematerialized edge chunks
         # instead of materializing (E, A, 3) intermediates: peak HBM stays
         # O(edge_chunk * A) through forward AND backward, so complete graphs
-        # at 25+ images and swin graphs at 50+ fit a 16 GB chip
+        # at 25+ images and swin graphs at 50+ fit a 16 GB chip. 64 beats
+        # 128 by ~4% at n=25/600 edges under the fused value-and-grad scan
+        # (13.3 vs 12.8 it/s, exp_align2_r3) and halves peak chunk memory
         self.edge_chunk = edge_chunk
         # multi-chip: shard the EDGE axis of the stacked observations over
         # all devices of the mesh (SURVEY §5's TPU analogue of "scale" =
