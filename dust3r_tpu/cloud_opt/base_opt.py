@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .commons import (ALL_DISTS, compute_edge_scores, edge_str, get_conf_trf,
-                      get_conf_trf_np, get_imshapes)
+                      get_conf_trf_np, get_imshapes, planar_dist)
 from ..utils.geometry import xy_grid, geotrf, inv
 from ..utils.pose import (matrix_to_pose_vec, pose_vec_to_matrix,
                           quat_normalize, signed_expm1)
@@ -92,57 +92,80 @@ def _pose_stacks(spec, params, e_pad):
     the padded terms finite, and their zero weights exclude them from
     the sums exactly."""
     pw_poses = pw_poses_from_params(spec, params)
-    pw_adapt = adaptors_from_params(spec, params)[:, None, :]  # (E,1,3)
+    pw_adapt = adaptors_from_params(spec, params)  # (E,3)
     E = pw_poses.shape[0]
     if e_pad > E:
         eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
                                (e_pad - E, 4, 4))
         pw_poses = jnp.concatenate([pw_poses, eye])
         pw_adapt = jnp.concatenate(
-            [pw_adapt, jnp.ones((e_pad - E, 1, 3), pw_adapt.dtype)])
+            [pw_adapt, jnp.ones((e_pad - E, 3), pw_adapt.dtype)])
     return pw_poses, pw_adapt
 
 
 def _edge_term(spec, consts, poses, adapt, proj, pred_i, pred_j, w_i, w_j,
                oh_i, oh_j):
-    """Normalized loss contribution of one edge block (or all edges).
+    """Normalized loss contribution of one edge block (or all edges),
+    COORDINATE-PLANAR: pred_i/pred_j are (3, e, A) planes, proj is
+    (3, N, A) world points, so every array in the chain is A-minor and
+    tiles cleanly onto (8, 128) vregs. The last-minor (…, A, 3) layout
+    cost 75.3 vs 44.1 ms/step at n=25/600 edges - the coordinate axis
+    next to the lane dim forces relayouts through the whole fwd+bwd
+    chain (scripts/exp_align5_r3.py; elementwise pose application alone,
+    still (…, A, 3), LOSES: 99 ms, exp_align4_r3.py).
 
-    The per-edge image pointmaps are "gathered" with an exact 0/1 matmul
-    (precision=highest keeps the selection bit-exact): measured at both
-    n=10 and n=25, the backward-of-gather scatter-add is 2-3x slower on
-    TPU than the pair of matmuls, and jnp.take forward is worse still
-    (scripts/exp_align_r3.py)."""
-    dist = ALL_DISTS[spec.dist_mode]
+    The pose application is 9 scalar-broadcast FMAs + 3 adds that fuse
+    into the distance chain; the per-edge image pointmaps are "gathered"
+    with an exact 0/1 matmul per plane (precision=highest keeps the
+    selection bit-exact): measured at both n=10 and n=25, the
+    backward-of-gather scatter-add is 2-3x slower on TPU than the tiny
+    matmuls, and jnp.take forward is worse still (scripts/exp_align_r3.py).
+    """
     f32 = jnp.float32
-    proj_i = jnp.einsum("en,nac->eac", oh_i, proj, precision="highest")
-    proj_j = jnp.einsum("en,nac->eac", oh_j, proj, precision="highest")
-    aligned_pred_i = geotrf(poses, adapt * pred_i.astype(f32))
-    aligned_pred_j = geotrf(poses, adapt * pred_j.astype(f32))
-    li = jnp.sum(dist(proj_i, aligned_pred_i, w_i.astype(f32)))
-    lj = jnp.sum(dist(proj_j, aligned_pred_j, w_j.astype(f32)))
-    return li / consts["total_area_i"] + lj / consts["total_area_j"]
+
+    def side(pred, oh, w, total):
+        ap = [adapt[:, c, None] * pred[c].astype(f32) for c in range(3)]
+        d2 = None
+        for c in range(3):
+            g = jnp.einsum("en,na->ea", oh, proj[c], precision="highest")
+            al = (poses[:, c, 3, None]
+                  + poses[:, c, 0, None] * ap[0]
+                  + poses[:, c, 1, None] * ap[1]
+                  + poses[:, c, 2, None] * ap[2])
+            diff = g - al
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+        per = planar_dist(spec.dist_mode, d2)
+        return jnp.sum(per * w.astype(f32)) / total
+
+    return (side(pred_i, oh_i, w_i, consts["total_area_i"])
+            + side(pred_j, oh_j, w_j, consts["total_area_j"]))
 
 
 def _chunked_xs(spec, consts, pw_poses, pw_adapt, e_pad):
     K = e_pad // spec.edge_chunk
-    return jax.tree.map(
-        lambda t: t.reshape((K, spec.edge_chunk) + t.shape[1:]),
-        (pw_poses, pw_adapt, consts["stacked_pred_i"],
-         consts["stacked_pred_j"], consts["weight_i"],
-         consts["weight_j"], consts["onehot_i"], consts["onehot_j"]))
+
+    def r(t):
+        return t.reshape((K, spec.edge_chunk) + t.shape[1:])
+
+    # the planar prediction stacks are stored pre-chunked (K, 3, chunk, A)
+    # so the scan slices them along the leading axis with zero copies
+    return (r(pw_poses), r(pw_adapt),
+            consts["planar_pred_i"], consts["planar_pred_j"],
+            r(consts["weight_i"]), r(consts["weight_j"]),
+            r(consts["onehot_i"]), r(consts["onehot_j"]))
 
 
 def alignment_loss(pts3d_fn, spec, params, consts):
     """Confidence-weighted 3D consistency over all edges - the pure
     function behind forward() and the non-chunked optimization.
 
-    pts3d_fn(spec, params, consts) -> (N, A, 3) world points per image;
-    pass a MODULE-LEVEL function so the jit cache is keyed on a stable
-    identity (optimizer.pco_depth_to_pts3d for the standard scene).
+    pts3d_fn(spec, params, consts) -> (3, N, A) coordinate-planar world
+    points; pass a MODULE-LEVEL function so the jit cache is keyed on a
+    stable identity (optimizer.pco_pts3d_planar for the standard scene).
     """
-    e_pad = consts["stacked_pred_i"].shape[0]
+    e_pad = consts["weight_i"].shape[0]
     pw_poses, pw_adapt = _pose_stacks(spec, params, e_pad)
-    proj = pts3d_fn(spec, params, consts)  # (N, A, 3)
+    proj = pts3d_fn(spec, params, consts)  # (3, N, A)
     chunk = spec.edge_chunk
     if chunk and e_pad > chunk:
         # scan over rematerialized edge chunks: peak memory through
@@ -158,7 +181,7 @@ def alignment_loss(pts3d_fn, spec, params, consts):
         loss, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
         return loss
     return _edge_term(spec, consts, pw_poses, pw_adapt, proj,
-                      consts["stacked_pred_i"], consts["stacked_pred_j"],
+                      consts["planar_pred_i"][0], consts["planar_pred_j"][0],
                       consts["weight_i"], consts["weight_j"],
                       consts["onehot_i"], consts["onehot_j"])
 
@@ -173,7 +196,7 @@ def alignment_value_and_grad(pts3d_fn, spec, params, consts):
     per-image points accumulate across chunks and flow back through
     pts3d_fn once via jax.vjp.
     """
-    e_pad = consts["stacked_pred_i"].shape[0]
+    e_pad = consts["weight_i"].shape[0]
     chunk = spec.edge_chunk
     if not (chunk and e_pad > chunk):
         return jax.value_and_grad(alignment_loss, argnums=2)(
@@ -328,9 +351,25 @@ class BasePCOptimizer:
                 arr = np.concatenate([arr, pad])
             return arr
 
+        # prediction stacks are stored COORDINATE-PLANAR and pre-chunked:
+        # (K, 3, chunk, A), K=1 when the loss won't chunk. Planar keeps
+        # every loss-chain array A-minor (clean (8,128) tiling); the
+        # (…, A, 3) layout costs 1.7x at n=25/600 edges
+        # (scripts/exp_align5_r3.py). Chunking on the host at build time
+        # lets the lax.scan slice chunks along the leading axis for free.
+        chunk_c = E_pad
+        if self.edge_chunk and E_pad > self.edge_chunk:
+            chunk_c = self.edge_chunk
+
+        def planar_stack(rows):
+            arr = stack_pad(rows)  # (E_pad, A, 3)
+            return np.ascontiguousarray(
+                arr.reshape(E_pad // chunk_c, chunk_c, A, 3)
+                .transpose(0, 3, 1, 2))
+
         self.consts = {
-            "stacked_pred_i": jnp.asarray(stack_pad(pred_i), odt),
-            "stacked_pred_j": jnp.asarray(stack_pad(pred_j), odt),
+            "planar_pred_i": jnp.asarray(planar_stack(pred_i), odt),
+            "planar_pred_j": jnp.asarray(planar_stack(pred_j), odt),
             # pre-transformed conf weights; padding has weight exactly 0
             "weight_i": jnp.asarray(stack_pad(w_i), odt),
             "weight_j": jnp.asarray(stack_pad(w_j), odt),
@@ -346,10 +385,20 @@ class BasePCOptimizer:
         }
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
-            edge_sharded = NamedSharding(
-                self.mesh, PartitionSpec(tuple(self.mesh.axis_names)))
-            self.consts = {k: jax.device_put(v, edge_sharded)
-                           for k, v in self.consts.items()}
+            axes = tuple(self.mesh.axis_names)
+            # planar stacks carry the edge axis at position 2 (K=1 here,
+            # since mesh supersedes chunking); the rest lead with it
+            specs = {
+                "planar_pred_i": PartitionSpec(None, None, axes),
+                "planar_pred_j": PartitionSpec(None, None, axes),
+                "weight_i": PartitionSpec(axes),
+                "weight_j": PartitionSpec(axes),
+                "onehot_i": PartitionSpec(axes),
+                "onehot_j": PartitionSpec(axes),
+            }
+            self.consts = {
+                k: jax.device_put(v, NamedSharding(self.mesh, specs[k]))
+                for k, v in self.consts.items()}
         self.total_area_i = sum(im_areas[i] for i, j in self.edges)
         self.total_area_j = sum(im_areas[j] for i, j in self.edges)
         # normalization denominators ride in consts (replicated scalars)
@@ -531,15 +580,16 @@ class BasePCOptimizer:
 
     @property
     def pts3d_fn(self):
-        """Module-level (spec, params, consts) -> (N, A, 3) function used
-        by the pure loss; subclasses override `_PTS3D_FN`. Falls back to
-        wrapping the instance method (per-instance jit key) for exotic
-        subclasses that only define depth_to_pts3d."""
+        """Module-level (spec, params, consts) -> (3, N, A) planar world
+        points used by the pure loss; subclasses override `_PTS3D_FN`.
+        Falls back to wrapping the instance method's (N, A, 3) contract
+        (per-instance jit key) for exotic subclasses that only define
+        depth_to_pts3d."""
         fn = getattr(type(self), "_PTS3D_FN", None)
         if fn is not None:
             return fn
-        return lambda spec, params, consts: self.depth_to_pts3d(
-            params, consts=consts)
+        return lambda spec, params, consts: jnp.transpose(
+            self.depth_to_pts3d(params, consts=consts), (2, 0, 1))
 
     def loss_fn(self, params, consts=None):
         """Confidence-weighted 3D consistency over all edges.

@@ -78,6 +78,18 @@ def l1_dist(a, b, weight):
 ALL_DISTS = dict(l1=l1_dist, l2=l2_dist)
 
 
+def planar_dist(mode, d2):
+    """Per-pixel distance from the squared distance, for the planar loss
+    path where the coordinate axis is unrolled (base_opt._edge_term): the
+    three squared diffs are accumulated plane-by-plane and only the final
+    scalarization differs per mode. Same grad-safe clamp as l1_dist."""
+    if mode == "l1":
+        return jnp.sqrt(jnp.maximum(d2, 1e-16))
+    if mode == "l2":
+        return d2
+    raise ValueError(f"bad dist mode {mode}")
+
+
 def cosine_schedule(t, lr_start, lr_end):
     return lr_end + (lr_start - lr_end) * (1 + np.cos(t * np.pi)) / 2
 

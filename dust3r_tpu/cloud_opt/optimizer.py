@@ -19,32 +19,44 @@ import optax
 from .base_opt import (BasePCOptimizer, _ravel_pad, alignment_loss,
                        alignment_value_and_grad)
 from .commons import make_lr_schedule
-from ..utils.geometry import xy_grid, geotrf
+from ..utils.geometry import xy_grid
 from ..utils.pose import pose_vec_to_matrix
 
 
-def pco_depth_to_pts3d(spec, params, consts):
-    """World points from the per-image learnables (pure; reference
-    optimizer.py:170-211): exp(log-depth) back-projected through
-    focal/pp and transformed by the per-image pose. Module-level so the
-    jit cache key is stable across scene instances."""
+def pco_pts3d_planar(spec, params, consts):
+    """Coordinate-planar (3, N, A) world points from the per-image
+    learnables (pure; reference optimizer.py:170-211): exp(log-depth)
+    back-projected through focal/pp and transformed by the per-image
+    pose. Planar (vs (N, A, 3)) keeps the whole chain A-minor - see
+    base_opt._edge_term - with the pose applied as scalar-broadcast
+    FMAs. Module-level so the jit cache key is stable across scene
+    instances."""
     focals = jnp.exp(params["im_focals"] / spec.focal_break)  # (N,1|2)
     pp = consts["pp_base"] + 10 * params["im_pp"]  # (N,2)
-    im_poses = pose_vec_to_matrix(params["im_poses"])  # (N,4,4)
+    T = pose_vec_to_matrix(params["im_poses"])  # (N,4,4)
     depth = jnp.exp(params["im_depthmaps"])  # (N,A)
     # focals (N,1) broadcasts to fx=fy; (N,2) is per-axis (fx, fy)
-    rel = jnp.concatenate([
-        depth[..., None] * (consts["grid"] - pp[:, None, :])
-        / focals[:, None, :],
-        depth[..., None]], axis=-1)  # (N, A, 3)
-    return geotrf(im_poses, rel)
+    rel = (depth * (consts["grid_x"] - pp[:, :1]) / focals[:, :1],
+           depth * (consts["grid_y"] - pp[:, 1:2]) / focals[:, -1:],
+           depth)
+    return jnp.stack([
+        T[:, c, 3, None]
+        + T[:, c, 0, None] * rel[0]
+        + T[:, c, 1, None] * rel[1]
+        + T[:, c, 2, None] * rel[2] for c in range(3)])
+
+
+def pco_depth_to_pts3d(spec, params, consts):
+    """(N, A, 3) view of pco_pts3d_planar - the reference-shaped contract
+    used by accessors and host-side consumers."""
+    return jnp.transpose(pco_pts3d_planar(spec, params, consts), (1, 2, 0))
 
 
 class PointCloudOptimizer(BasePCOptimizer):
     """Adds per-image learnables: log-depthmaps, 7-dof poses, log-focals
     (scaled by focal_break), optional principal points."""
 
-    _PTS3D_FN = staticmethod(pco_depth_to_pts3d)
+    _PTS3D_FN = staticmethod(pco_pts3d_planar)
 
     def __init__(self, *args, optimize_pp=False, focal_break=20,
                  fx_and_fy=False, **kwargs):
@@ -77,8 +89,14 @@ class PointCloudOptimizer(BasePCOptimizer):
 
         self.consts["pp_base"] = jnp.asarray(
             [(w / 2, h / 2) for h, w in self.imshapes], jnp.float32)
-        self.consts["grid"] = jnp.asarray(np.stack([
-            _ravel_pad(np.asarray(xy_grid(w, h)), A) for h, w in self.imshapes]))
+        # pixel grids stored as separate x/y planes ((N, A) each, A-minor)
+        # for the planar pts3d path
+        grids = np.stack([_ravel_pad(np.asarray(xy_grid(w, h)), A)
+                          for h, w in self.imshapes])  # (N, A, 2)
+        self.consts["grid_x"] = jnp.asarray(
+            np.ascontiguousarray(grids[..., 0]))
+        self.consts["grid_y"] = jnp.asarray(
+            np.ascontiguousarray(grids[..., 1]))
 
     # ------------------------------------------------------------------ #
     # presets (known poses / intrinsics)

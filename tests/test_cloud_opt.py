@@ -324,7 +324,7 @@ class TestMeshShardedEdges:
                              verbose=False, mesh=self._mesh())
         # 30 edges over 8 devices -> padded to 32, 4 per shard
         assert shd._n_edges_pad == 32
-        assert shd.consts["stacked_pred_i"].sharding.num_devices == 8
+        assert shd.consts["planar_pred_i"].sharding.num_devices == 8
         params = dict(ref.params)
         l_ref, g_ref = jax.value_and_grad(ref.loss_fn)(params,
                                                        dict(ref.consts))
