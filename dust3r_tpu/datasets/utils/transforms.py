@@ -54,10 +54,17 @@ class ColorJitter:
             h = rng.uniform(-self.hue, self.hue)
 
             def shift_hue(im, h=h):
-                hsv = np.array(im.convert("HSV"))
-                hsv[..., 0] = (hsv[..., 0].astype(np.int16)
-                               + int(h * 255)) % 255
-                return PIL.Image.fromarray(hsv, "HSV").convert("RGB")
+                # cv2's SIMD HSV roundtrip: ~7x the PIL convert("HSV")
+                # path that dominated the loader profile (14.5 of the
+                # 73 ms/sample Co3d hot path). cv2 hue is [0, 180) per
+                # turn vs PIL's [0, 256), so the shift is h*180 - the
+                # same fraction of a full turn torchvision applies.
+                import cv2
+                hsv = cv2.cvtColor(np.asarray(im), cv2.COLOR_RGB2HSV)
+                shift = np.uint8(int(round(h * 180)) % 180)
+                hsv[..., 0] = (hsv[..., 0] + shift) % 180
+                return PIL.Image.fromarray(
+                    cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB))
             ops.append(shift_hue)
         order = rng.permutation(len(ops))
         for i in order:

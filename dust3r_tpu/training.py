@@ -81,6 +81,23 @@ def init_train_state(params, spec: TrainSpec):
                 step=jnp.zeros((), jnp.int32))
 
 
+def _ensure_gt_pts3d(view):
+    """Rebuild gt pointmaps on device for views shipped depth-only.
+
+    _host_view drops the (B,H,W,3) gt pts3d from the host->device
+    transfer when depth+K+pose are present; the criterion needs pts3d,
+    so lift it here inside the jitted step (exact same f32 math as the
+    loader's host path, utils/geometry.py:depth_to_world_pts3d).
+    """
+    if "pts3d" in view or "depthmap" not in view:
+        return view
+    from .utils.geometry import depth_to_world_pts3d
+    pts3d = depth_to_world_pts3d(view["depthmap"],
+                                 view["camera_intrinsics"],
+                                 view["camera_pose"])
+    return dict(view, pts3d=pts3d)
+
+
 def loss_of_one_batch(model, params, criterion, batch, symmetrized=False):
     """Forward + criterion for one batch of paired views.
 
@@ -93,6 +110,9 @@ def loss_of_one_batch(model, params, criterion, batch, symmetrized=False):
     take the half-encoder fast path.
     """
     view1, view2 = batch
+    if criterion is not None:
+        view1 = _ensure_gt_pts3d(view1)
+        view2 = _ensure_gt_pts3d(view2)
     # ManyAR batches carry per-sample portrait flags (host adds the key
     # only when a batch actually contains portrait-stored samples, so
     # the all-landscape program never pays the double head pass).
@@ -186,12 +206,24 @@ def build_train_step(model, criterion, spec: TrainSpec, mesh=None,
                          step=state["step"] + 1)
         metrics = dict(loss=loss, lr=lr, grad_norm=grad_norm,
                        skipped=(~finite).astype(jnp.float32), **details)
+        # every scalar also rides in ONE packed f32 vector: fetching the
+        # dict is a device round trip PER LEAF (8+ tunnel round trips a
+        # step); the loop fetches metrics["_packed"] in a single pull
+        # (name order captured at trace time via `packed_names`)
+        if not packed_names:
+            packed_names.extend(k for k in sorted(metrics)
+                                if jnp.ndim(metrics[k]) == 0)
+        metrics["_packed"] = jnp.stack(
+            [metrics[k].astype(jnp.float32) for k in packed_names])
         return new_state, metrics
 
     # donate the input state: params + Adam moments of the 0.6B model are
     # ~7GB fp32; donation lets XLA update them in place instead of
     # double-buffering. Sharded inputs keep their placement automatically.
-    return jax.jit(step_fn, donate_argnums=(0,))
+    packed_names = []
+    fn = jax.jit(step_fn, donate_argnums=(0,))
+    fn.packed_names = packed_names
+    return fn
 
 
 def check_finite_or_die(loss_value):
@@ -326,7 +358,7 @@ def make_batch_symmetric(view1, view2):
     return new1, new2
 
 
-_DEVICE_KEYS = ("img", "pts3d", "valid_mask", "camera_pose",
+_DEVICE_KEYS = ("img", "pts3d", "depthmap", "valid_mask", "camera_pose",
                 "camera_intrinsics", "is_portrait")
 
 
@@ -356,22 +388,52 @@ def add_manyar_flags(view1, view2, force=False):
     return view1, view2
 
 
-def _batch_to_device(view):
-    return {k: jnp.asarray(np.ascontiguousarray(view[k]))
-            for k in _DEVICE_KEYS if k in view}
+def _host_view(view, img_dtype=None):
+    """Select and prepare the arrays a training/eval step actually ships.
+
+    Transfer-size discipline (the host->device link is the axon tunnel
+    here and PCIe in production; either way it's the scarce resource,
+    CLAUDE.md tunnel rules):
+    - gt pts3d (B,H,W,3 f32) is DROPPED whenever depth+K+pose are in the
+      view - the step rebuilds it in-graph (_ensure_gt_pts3d), shipping
+      one depth plane instead of three coordinate planes.
+    - img is cast to `img_dtype` (bf16 under the amp policy) on the
+      host: the model's first act is the cast to its compute dtype, so
+      rounding before the wire halves the biggest transfer for free.
+    """
+    gt_from_depth = all(k in view for k in
+                        ("depthmap", "camera_intrinsics", "camera_pose"))
+    out = {}
+    for k in _DEVICE_KEYS:
+        if k not in view:
+            continue
+        if k == "pts3d" and gt_from_depth:
+            continue
+        if k == "depthmap" and not gt_from_depth:
+            continue
+        a = np.ascontiguousarray(view[k])
+        if k == "img" and img_dtype is not None:
+            a = a.astype(img_dtype)
+        out[k] = a
+    return out
 
 
-def stack_accum_batches(batches):
+def _batch_to_device(view, img_dtype=None):
+    return {k: jnp.asarray(v)
+            for k, v in _host_view(view, img_dtype).items()}
+
+
+def stack_accum_batches(batches, img_dtype=None):
     """Stack `accum_iter` loader batches [(view1, view2), ...] into the
     (accum_iter, B, ...) layout build_train_step's lax.scan expects."""
     if len(batches) == 1:
-        return (_batch_to_device(batches[0][0]),
-                _batch_to_device(batches[0][1]))
+        return (_batch_to_device(batches[0][0], img_dtype),
+                _batch_to_device(batches[0][1], img_dtype))
 
     def stack(dicts):
-        return {k: jnp.asarray(np.stack([np.ascontiguousarray(d[k])
-                                         for d in dicts]))
-                for k in _DEVICE_KEYS if k in dicts[0]}
+        hosts = [_host_view(d, img_dtype) for d in dicts]
+        return {k: jnp.asarray(np.stack([h[k] for h in hosts]))
+                for k in hosts[0]}
 
     return (stack([v1 for v1, _ in batches]),
             stack([v2 for _, v2 in batches]))
@@ -568,7 +630,9 @@ def train(args):
                 stats = test_one_epoch(model, state["params"], test_criterion,
                                        loader, epoch,
                                        print_freq=args.print_freq,
-                                       prefix=name, mesh=mesh)
+                                       prefix=name, mesh=mesh,
+                                       img_dtype=jnp.bfloat16 if spec.amp
+                                       else None)
                 test_stats[name] = stats
                 if stats["loss_med"] < best_so_far:
                     best_so_far = stats["loss_med"]
@@ -614,6 +678,41 @@ def train_one_epoch(model, state, step_fn, data_loader, epoch, spec,
     n_iters = len(data_loader)  # loader batches (= optimizer steps x accum)
     accum = spec.accum_iter
 
+    img_dtype = jnp.bfloat16 if getattr(spec, "amp", True) else None
+    packed_names = getattr(step_fn, "packed_names", None)
+
+    def flush(pending):
+        """Pull ONE packed metrics vector and do the host-side logging.
+
+        Deliberately one optimizer step behind the dispatch: by the time
+        this blocks on step i's scalars, step i+1 is already enqueued on
+        the device and its batch upload has happened - the tunnel round
+        trip hides behind compute. The non-finite abort therefore lags
+        one step; the in-graph skip (build_train_step) still protects
+        params/opt state on the very step.
+        """
+        i, epoch_f, metrics = pending
+        if packed_names:
+            vals = np.asarray(metrics["_packed"])
+            host_metrics = dict(zip(packed_names, map(float, vals)))
+        else:  # step fns without a packed vector (older/test doubles)
+            host_metrics = {k: float(v) for k, v in metrics.items()
+                            if not k.startswith("_") and np.ndim(v) == 0}
+        check_finite_or_die(host_metrics["loss"])
+        # cross-process mean for logging (reference training.py:322)
+        loss_value_reduce = all_reduce_mean(host_metrics["loss"])
+        metric_logger.update(epoch=epoch_f, **host_metrics)
+        if log_writer is not None and print_freq and i % print_freq == 0:
+            epoch_1000x = int(epoch_f * 1000)
+            log_writer.add_scalar("train_loss", loss_value_reduce,
+                                  epoch_1000x)
+            log_writer.add_scalar("train_lr", host_metrics.get("lr", 0.0),
+                                  epoch_1000x)
+            for name, val in host_metrics.items():
+                if name not in ("loss", "lr", "epoch"):
+                    log_writer.add_scalar("train_" + name, val, epoch_1000x)
+
+    pending = None
     groups = _grouped(iter(data_loader), accum)
     for i, group in metric_logger.log_every(groups, print_freq, header):
         epoch_f = epoch + (i * accum) / max(n_iters, 1)
@@ -625,42 +724,31 @@ def train_one_epoch(model, state, step_fn, data_loader, epoch, spec,
             sym = [add_manyar_flags(v1, v2, force=True)
                    if "is_portrait" not in v1 else (v1, v2)
                    for v1, v2 in sym]
-        dev_batch = stack_accum_batches(sym)
+        dev_batch = stack_accum_batches(sym, img_dtype)
         if mesh is not None:
             dev_batch = shard_batch(mesh, dev_batch,
                                     batch_axis=1 if accum > 1 else 0)
         state, metrics = step_fn(state, dev_batch, jnp.asarray(epoch_f))
+        if pending is not None:
+            flush(pending)
+        pending = (i, epoch_f, metrics)
 
-        loss_value = float(metrics["loss"])
-        check_finite_or_die(loss_value)
-        # cross-process mean for logging (reference training.py:322)
-        loss_value_reduce = all_reduce_mean(loss_value)
-        host_metrics = {k: float(v) for k, v in metrics.items()
-                        if np.ndim(v) == 0}
-        metric_logger.update(epoch=epoch_f, **host_metrics)
-
-        if log_writer is not None and print_freq and i % print_freq == 0:
-            epoch_1000x = int(epoch_f * 1000)
-            log_writer.add_scalar("train_loss", loss_value_reduce,
-                                  epoch_1000x)
-            log_writer.add_scalar("train_lr", host_metrics.get("lr", 0.0),
-                                  epoch_1000x)
-            for name, val in host_metrics.items():
-                if name not in ("loss", "lr", "epoch"):
-                    log_writer.add_scalar("train_" + name, val, epoch_1000x)
-
+    if pending is not None:
+        flush(pending)
     metric_logger.synchronize_between_processes()
     print("Averaged stats:", metric_logger)
     return state, {k: m.global_avg for k, m in metric_logger.meters.items()}
 
 
 def test_one_epoch(model, params, criterion, data_loader, epoch,
-                   print_freq=20, prefix="test", mesh=None):
+                   print_freq=20, prefix="test", mesh=None, img_dtype=None):
     # test meters keep the whole epoch in window (median over everything,
     # reference test_one_epoch's window_size=9**9)
     metric_logger = MetricLogger(window_size=10 ** 9)
     header = f"Test Epoch: [{epoch}]"
     data_loader.set_epoch(epoch)
+
+    packed_names = []  # scalar metric order, captured at trace time
 
     @jax.jit
     def eval_step(params, batch):
@@ -668,18 +756,24 @@ def test_one_epoch(model, params, criterion, data_loader, epoch,
             batch = batch_constraint(mesh, batch)
         (loss, details), _ = loss_of_one_batch(model, params, criterion,
                                                batch, symmetrized=True)
-        return loss, details
+        scalars = dict({k: v for k, v in details.items()
+                        if jnp.ndim(v) == 0}, loss=loss)
+        if not packed_names:
+            packed_names.extend(sorted(scalars))
+        # one packed vector = one host pull per batch (vs one per scalar)
+        return jnp.stack([scalars[k].astype(jnp.float32)
+                          for k in packed_names])
 
     for i, batch in metric_logger.log_every(iter(data_loader), print_freq,
                                             header):
         view1, view2 = batch
         view1, view2 = add_manyar_flags(*make_batch_symmetric(view1, view2))
-        dev_batch = (_batch_to_device(view1), _batch_to_device(view2))
+        dev_batch = (_batch_to_device(view1, img_dtype),
+                     _batch_to_device(view2, img_dtype))
         if mesh is not None:
             dev_batch = shard_batch(mesh, dev_batch)
-        loss, details = eval_step(params, dev_batch)
-        host = {k: float(v) for k, v in details.items() if np.ndim(v) == 0}
-        metric_logger.update(loss=float(loss), **host)
+        vals = np.asarray(eval_step(params, dev_batch))
+        metric_logger.update(**dict(zip(packed_names, map(float, vals))))
 
     # global medians/averages across processes -> checkpoint-best selection
     # is rank-independent (reference training.py:336)

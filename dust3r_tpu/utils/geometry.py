@@ -129,6 +129,32 @@ def depthmap_to_pts3d(depth, pseudo_focal, pp=None):
     return jnp.stack([x, y, depth], axis=-1)
 
 
+def depth_to_world_pts3d(depthmap, camera_intrinsics, camera_pose):
+    """In-graph batched gt pointmaps: (B,H,W) depth + (B,3,3) K +
+    (B,4,4) cam2world -> (B,H,W,3) world points, all f32.
+
+    Device-side twin of depthmap_to_absolute_camera_coordinates below
+    (reference dust3r/utils/geometry.py:162-213): the training step
+    ships depth (1 plane) instead of gt pts3d (3 planes) and rebuilds
+    the pointmaps on device - bandwidth is the scarce resource on the
+    host->HBM path, the lift is a handful of fused FMAs. Rays come from
+    K^{-1}(u,v,1) rather than the (u-cu)/fu shortcut so the ManyAR
+    row-permuted intrinsics of transpose_to_landscape (K[[1,0,2]]) are
+    handled by the same formula.
+    """
+    d = depthmap.astype(jnp.float32)
+    B, H, W = d.shape
+    gx, gy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32), indexing="xy")
+    uv1 = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H, W, 3)
+    Kinv = jnp.linalg.inv(camera_intrinsics.astype(jnp.float32))
+    rays = jnp.einsum("bij,hwj->bhwi", Kinv, uv1)
+    X_cam = rays * d[..., None]
+    T = camera_pose.astype(jnp.float32)
+    return (jnp.einsum("bij,bhwj->bhwi", T[:, :3, :3], X_cam)
+            + T[:, None, None, :3, 3])
+
+
 def depthmap_to_camera_coordinates(depthmap, camera_intrinsics):
     """(H,W) depth + 3x3 K -> (H,W,3) camera points and validity mask.
 
