@@ -101,9 +101,33 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def spans_processes(mesh):
+    """True when the mesh includes devices of other JAX processes
+    (multi-host: ICI within a host/slice, DCN across)."""
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
+def _put_global(x, sharding):
+    """device_put that also works when `sharding` spans processes.
+
+    Every process holds the FULL host value (params: same init seed or
+    the same loaded checkpoint on all hosts); each contributes only its
+    addressable shards and the result is one global jax.Array.
+    """
+    x = np.asarray(x)
+    arrays = [jax.device_put(x[idx], d)
+              for d, idx in sharding.addressable_devices_indices_map(
+                  x.shape).items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding,
+                                                    arrays)
+
+
 def shard_params(mesh, params):
     """Place parameters on the mesh according to param_shardings."""
     shardings = param_shardings(mesh, params)
+    if spans_processes(mesh):
+        return jax.tree.map(_put_global, params, shardings)
     return jax.tree.map(jax.device_put, params, shardings)
 
 
@@ -112,11 +136,21 @@ def shard_batch(mesh, batch, batch_axis=0):
 
     batch_axis=1 serves gradient-accumulation batches shaped
     (accum_iter, B, ...) where the leading axis is scanned, not sharded.
+
+    Multi-host: each process passes its LOCAL batch (the rank-sharded
+    slice its sampler produced, reference batched_sampler.py:62-66) and
+    the pieces are assembled into one global array along `batch_axis` -
+    the data never leaves the host that loaded it.
     """
+    multiproc = spans_processes(mesh)
+
     def put(x):
         spec = [None] * np.ndim(x)
         spec[batch_axis] = "data"
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        sh = NamedSharding(mesh, P(*spec))
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)
 
