@@ -20,7 +20,8 @@ from jax.numpy import asarray as jnp_asarray
 from .inference import InferenceEngine, inference
 from .image_pairs import make_pairs
 from .utils.image import load_images, rgb
-from .viz import add_scene_cam, CAM_COLORS, OPENGL, pts3d_to_trimesh, cat_meshes
+from .viz import (add_scene_cam, CAM_COLORS, OPENGL, pts3d_to_trimesh,
+                  cat_meshes, uint8)
 from .cloud_opt import global_aligner, GlobalAlignerMode
 
 
@@ -61,11 +62,72 @@ def set_print_with_timestamp(time_format="%Y-%m-%d %H:%M:%S"):
     builtins.print = print_with_timestamp
 
 
+def _export_scene_ply(outdir, imgs, pts3d, mask, focals, cams2world,
+                      cam_size=0.05, silent=False):
+    """numpy-only scene export: colored point cloud + camera-frustum
+    wireframes (sampled as points) in one binary PLY. Fallback for
+    environments without trimesh (same scene content as the GLB path;
+    viewers that open .glb open .ply too)."""
+    pts = np.concatenate([p[m].reshape(-1, 3)
+                          for p, m in zip(pts3d, mask)])
+    col = np.concatenate([im[m].reshape(-1, 3)
+                          for im, m in zip(imgs, mask)])
+    col = uint8(col)
+    cam_pts, cam_cols = [], []
+    for i, c2w in enumerate(np.asarray(cams2world)):
+        color = CAM_COLORS[i % len(CAM_COLORS)]
+        h, w = imgs[i].shape[:2]
+        # frustum: camera center -> 4 image-plane corners at depth cam_size
+        z = cam_size
+        corners = np.array([[x * w / (2 * focals[i]), y * h / (2 * focals[i]), 1.0]
+                            for x, y in ((-1, -1), (1, -1), (1, 1), (-1, 1))])
+        corners = corners * z
+        segs = ([(np.zeros(3), c) for c in corners]
+                + [(corners[k], corners[(k + 1) % 4]) for k in range(4)])
+        for a, b in segs:
+            t = np.linspace(0, 1, 16)[:, None]
+            cam_pts.append(a * (1 - t) + b * t)
+            cam_cols.append(np.tile(color, (16, 1)))
+        local = np.concatenate(cam_pts[-8:])
+        world = local @ c2w[:3, :3].T + c2w[:3, 3]
+        for k in range(8):
+            cam_pts[-8 + k] = world[16 * k:16 * (k + 1)]
+    verts = np.concatenate([pts] + cam_pts).astype(np.float32)
+    cols = np.concatenate([col] + cam_cols).astype(np.uint8)
+    # OpenGL convention, anchored on camera 0 (same transform as GLB path)
+    roty = np.eye(4)
+    roty[0, 0] = roty[2, 2] = -1
+    trf = np.linalg.inv(np.asarray(cams2world)[0] @ OPENGL @ roty)
+    verts = (verts @ trf[:3, :3].T + trf[:3, 3]).astype(np.float32)
+    outfile = os.path.join(outdir, "scene.ply")
+    with open(outfile, "wb") as f:
+        f.write((f"ply\nformat binary_little_endian 1.0\n"
+                 f"element vertex {len(verts)}\n"
+                 "property float x\nproperty float y\nproperty float z\n"
+                 "property uchar red\nproperty uchar green\n"
+                 "property uchar blue\nend_header\n").encode())
+        rec = np.zeros(len(verts), dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+        rec["xyz"] = verts
+        rec["rgb"] = cols
+        f.write(rec.tobytes())
+    if not silent:
+        print("(trimesh unavailable; exported point-cloud PLY to",
+              outfile, ")")
+    return outfile
+
+
 def _convert_scene_output_to_glb(outdir, imgs, pts3d, mask, focals,
                                  cams2world, cam_size=0.05, cam_color=None,
                                  as_pointcloud=False, transparent_cams=False,
                                  silent=False):
-    import trimesh
+    try:
+        import trimesh
+    except ImportError:
+        return _export_scene_ply(
+            outdir, [np.asarray(im) for im in imgs],
+            [np.asarray(p) for p in pts3d], mask,
+            np.asarray(focals).reshape(-1), np.asarray(cams2world),
+            cam_size=cam_size, silent=silent)
 
     assert len(pts3d) == len(mask) <= len(imgs) <= len(cams2world) == len(focals)
     pts3d = [np.asarray(p) for p in pts3d]

@@ -52,24 +52,25 @@ def main():
 
     out_dir = tempfile.mkdtemp(prefix="demo_tpu_")
     rng = np.random.default_rng(0)
-    files = []
-    for i in range(4):
-        img = rng.integers(0, 255, (600, 800, 3), dtype=np.uint8)
-        p = osp.join(out_dir, f"img{i}.jpg")
-        cv2.imwrite(p, img)
-        files.append(p)
+    if not os.environ.get("SKIP_DEMO"):
+        files = []
+        for i in range(4):
+            img = rng.integers(0, 255, (600, 800, 3), dtype=np.uint8)
+            p = osp.join(out_dir, f"img{i}.jpg")
+            cv2.imwrite(p, img)
+            files.append(p)
 
-    t0 = time.perf_counter()
-    scene, outfile, gallery = demo_mod.get_reconstructed_scene(
-        out_dir, engine, "tpu", False, 512, files,
-        schedule="cosine", niter=300, min_conf_thr=3.0,
-        as_pointcloud=True, mask_sky=False, clean_depth=True,
-        transparent_cams=False, cam_size=0.05,
-        scenegraph_type="complete", winsize=1, refid=0)
-    print(f"demo get_reconstructed_scene (4 imgs @512, 300 iters): "
-          f"{time.perf_counter() - t0:.1f}s -> {outfile} "
-          f"({osp.getsize(outfile)} bytes)", flush=True)
-    assert osp.exists(outfile)
+        t0 = time.perf_counter()
+        scene, outfile, gallery = demo_mod.get_reconstructed_scene(
+            out_dir, engine, "tpu", False, 512, files,
+            schedule="cosine", niter=300, min_conf_thr=3.0,
+            as_pointcloud=True, mask_sky=False, clean_depth=True,
+            transparent_cams=False, cam_size=0.05,
+            scenegraph_type="complete", winsize=1, refid=0)
+        print(f"demo get_reconstructed_scene (4 imgs @512, 300 iters): "
+              f"{time.perf_counter() - t0:.1f}s -> {outfile} "
+              f"({osp.getsize(outfile)} bytes)", flush=True)
+        assert osp.exists(outfile)
 
     # --- visloc: query + one map view with known-geometry GT ---------- #
     from visloc import localize_query
@@ -86,19 +87,23 @@ def main():
     c2w[:3, 3] = [0.3, -0.2, 0.1]
     img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
 
+    import PIL.Image
+
     def view(name):
         return dict(
             image_name=name,
+            rgb=PIL.Image.fromarray(img),
             rgb_rescaled=img.astype(np.float32) / 127.5 - 1.0,
             valid_rescaled=np.ones((H, W), bool),
             pts3d_rescaled=pts_cam,  # (H, W, 3) GT map
+            to_orig=np.eye(3, dtype=np.float64),  # already at original res
             intrinsics=K, distortion=None,
             cam_to_world=c2w,
         )
 
     t0 = time.perf_counter()
     success, pose = localize_query(
-        engine, [view("query"), view("map0")], 1.0, "cv2", 5.0, 0.0,
+        engine, [view("query"), view("map0")], 1.0, "cv2", 5.0, None,
         100_000)
     print(f"visloc localize_query on TPU: {time.perf_counter() - t0:.1f}s "
           f"success={success}", flush=True)

@@ -202,7 +202,8 @@ class TestValidateRealCkptScript:
                    ckpt_path)
 
         out_npz = tmp_path / "outs.npz"
-        env_script = ["python", "scripts/validate_real_ckpt.py",
+        import sys
+        env_script = [sys.executable, "scripts/validate_real_ckpt.py",
                       str(ckpt_path), "--cpu", "--height", "64",
                       "--width", "64", "--save-outputs", str(out_npz)]
         r = subprocess.run(env_script, capture_output=True, text=True,
@@ -213,7 +214,7 @@ class TestValidateRealCkptScript:
 
         # second run: compare against the recorded outputs (self-parity)
         r2 = subprocess.run(
-            ["python", "scripts/validate_real_ckpt.py", str(ckpt_path),
+            [sys.executable, "scripts/validate_real_ckpt.py", str(ckpt_path),
              "--cpu", "--height", "64", "--width", "64",
              "--ref-outputs", str(out_npz)],
             capture_output=True, text=True, cwd="/root/repo", timeout=600)

@@ -70,3 +70,29 @@ def test_single_image_duplicated(engine, imagefiles, tmp_path, monkeypatch):
         cam_size=0.05, scenegraph_type="complete", winsize=1, refid=0)
     # single image duplicated -> 2-image PairViewer scene
     assert len(gallery) == 6
+
+
+def test_ply_fallback_export(tmp_path):
+    """trimesh-free PLY export: valid header, vertex count matches masked
+    points + 8 frustum segments x 16 samples per camera."""
+    rng = np.random.default_rng(0)
+    n, h, w = 2, 8, 10
+    imgs = [rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+            for _ in range(n)]
+    pts3d = [rng.standard_normal((h, w, 3)).astype(np.float32)
+             for _ in range(n)]
+    mask = [np.ones((h, w), bool), np.zeros((h, w), bool)]
+    mask[1][:4] = True
+    cams2world = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    cams2world[1, :3, 3] = (1, 0, 0)
+    out = demo_mod._export_scene_ply(
+        str(tmp_path), imgs, pts3d, mask, np.float32([100.0, 100.0]),
+        cams2world, silent=True)
+    assert out.endswith("scene.ply")
+    raw = open(out, "rb").read()
+    header, body = raw.split(b"end_header\n", 1)
+    n_pts = int(mask[0].sum() + mask[1].sum()) + n * 8 * 16
+    assert f"element vertex {n_pts}".encode() in header
+    assert len(body) == n_pts * (3 * 4 + 3)
+    xyz = np.frombuffer(body, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+    assert np.isfinite(xyz["xyz"]).all()
