@@ -82,77 +82,88 @@ def adaptors_from_params(spec, params):
     return jnp.exp(adapt / spec.pw_break)
 
 
-def _pose_stacks(spec, params, e_pad):
-    """Per-edge pose/adaptor stacks, padded to the stored edge count.
+def _group_layout(indices, n_imgs, n_pad):
+    """Host helper: edge ids grouped by the image whose world points the
+    side compares against (idx_i for side i, idx_j for side j).
 
-    The stacked consts are stored pre-padded (chunk multiple or
-    device-count multiple) with zero-weight edges; only the (tiny)
-    pose/adaptor stacks are padded here. Padding poses with identities
-    (NOT zeros: a zero quaternion would normalize to NaN upstream) keeps
-    the padded terms finite, and their zero weights exclude them from
-    the sums exactly."""
-    pw_poses = pw_poses_from_params(spec, params)
-    pw_adapt = adaptors_from_params(spec, params)  # (E,3)
-    E = pw_poses.shape[0]
-    if e_pad > E:
-        eye = jnp.broadcast_to(jnp.eye(4, dtype=pw_poses.dtype),
-                               (e_pad - E, 4, 4))
-        pw_poses = jnp.concatenate([pw_poses, eye])
-        pw_adapt = jnp.concatenate(
-            [pw_adapt, jnp.ones((e_pad - E, 3), pw_adapt.dtype)])
-    return pw_poses, pw_adapt
+    Returns perm (n_pad, G) int32 and valid (n_pad, G) float32, G = max
+    per-image edge count. Pad slots point at edge 0; the weights are
+    zeroed through `valid`, so they contribute exactly nothing."""
+    indices = np.asarray(indices)
+    counts = np.bincount(indices, minlength=n_imgs)
+    G = max(1, int(counts.max()))
+    perm = np.zeros((n_pad, G), np.int32)
+    valid = np.zeros((n_pad, G), np.float32)
+    slot = np.zeros(n_imgs, np.int32)
+    for e, n in enumerate(indices):
+        perm[n, slot[n]] = e
+        valid[n, slot[n]] = 1.0
+        slot[n] += 1
+    return perm, valid
 
 
-def _edge_term(spec, consts, poses, adapt, proj, pred_i, pred_j, w_i, w_j,
-               oh_i, oh_j):
-    """Normalized loss contribution of one edge block (or all edges),
-    COORDINATE-PLANAR: pred_i/pred_j are (3, e, A) planes, proj is
-    (3, N, A) world points, so every array in the chain is A-minor and
-    tiles cleanly onto (8, 128) vregs. The last-minor (…, A, 3) layout
-    cost 75.3 vs 44.1 ms/step at n=25/600 edges - the coordinate axis
-    next to the lane dim forces relayouts through the whole fwd+bwd
-    chain (scripts/exp_align5_r3.py; elementwise pose application alone,
-    still (…, A, 3), LOSES: 99 ms, exp_align4_r3.py).
+def _grouped_term(spec, poses, adapt, proj, pred, w, perm, total):
+    """Normalized loss contribution of one side's image groups.
 
-    The pose application is 9 scalar-broadcast FMAs + 3 adds that fuse
-    into the distance chain; the per-edge image pointmaps are "gathered"
-    with an exact 0/1 matmul per plane (precision=highest keeps the
-    selection bit-exact): measured at both n=10 and n=25, the
-    backward-of-gather scatter-add is 2-3x slower on TPU than the tiny
-    matmuls, and jnp.take forward is worse still (scripts/exp_align_r3.py).
-    """
+    COORDINATE-PLANAR + GROUPED-BY-IMAGE: pred is (3, n, G, A) planes of
+    the per-edge predictions sorted so group g holds the edges whose
+    world points are image g's; w is (n, G, A); perm (n, G) maps group
+    slots back to edge ids for the tiny pose/adaptor gathers; proj is
+    (3, n, A) world points for the SAME n images in order.
+
+    Planar keeps every array in the chain A-minor ((8, 128) vreg tiling;
+    the (…, A, 3) layout costs 1.7x, scripts/exp_align5_r3.py). Grouping
+    makes the proj term a plain (n, 1, A) broadcast: the previous
+    per-edge one-hot gather matmuls - (chunk, N) x (N, A) fp32-highest
+    dots padding BOTH tiny dims to 128 MXU lanes, fwd + bwd - were the
+    dominant residual cost of the chunk-scan step (46.0 -> 24.2 ms/step
+    at n=25/600 edges, scripts/exp_align6_r3.py), and the per-image
+    gproj now falls out of the backward as the group-axis sum with no
+    scatter. The pose application stays 9 scalar-broadcast FMAs fused
+    into the distance chain."""
     f32 = jnp.float32
-
-    def side(pred, oh, w, total):
-        ap = [adapt[:, c, None] * pred[c].astype(f32) for c in range(3)]
-        d2 = None
-        for c in range(3):
-            g = jnp.einsum("en,na->ea", oh, proj[c], precision="highest")
-            al = (poses[:, c, 3, None]
-                  + poses[:, c, 0, None] * ap[0]
-                  + poses[:, c, 1, None] * ap[1]
-                  + poses[:, c, 2, None] * ap[2])
-            diff = g - al
-            d2 = diff * diff if d2 is None else d2 + diff * diff
-        per = planar_dist(spec.dist_mode, d2)
-        return jnp.sum(per * w.astype(f32)) / total
-
-    return (side(pred_i, oh_i, w_i, consts["total_area_i"])
-            + side(pred_j, oh_j, w_j, consts["total_area_j"]))
+    shp = perm.shape
+    p_s = jnp.take(poses, perm.reshape(-1), axis=0).reshape(shp + (4, 4))
+    a_s = jnp.take(adapt, perm.reshape(-1), axis=0).reshape(shp + (3,))
+    ap = [a_s[..., c, None] * pred[c].astype(f32) for c in range(3)]
+    d2 = None
+    for c in range(3):
+        al = (p_s[:, :, c, 3, None]
+              + p_s[:, :, c, 0, None] * ap[0]
+              + p_s[:, :, c, 1, None] * ap[1]
+              + p_s[:, :, c, 2, None] * ap[2])
+        diff = proj[c][:, None, :] - al
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    per = planar_dist(spec.dist_mode, d2)
+    return jnp.sum(per * w.astype(f32)) / total
 
 
-def _chunked_xs(spec, consts, pw_poses, pw_adapt, e_pad):
-    K = e_pad // spec.edge_chunk
+def _pad_imgs(proj, n_pad):
+    """Zero-pad the image axis of (3, N, A) world points to n_pad (the
+    pad groups carry zero weights, so the values never matter)."""
+    n = proj.shape[1]
+    if n_pad == n:
+        return proj
+    return jnp.pad(proj, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    def r(t):
-        return t.reshape((K, spec.edge_chunk) + t.shape[1:])
 
-    # the planar prediction stacks are stored pre-chunked (K, 3, chunk, A)
-    # so the scan slices them along the leading axis with zero copies
-    return (r(pw_poses), r(pw_adapt),
-            consts["planar_pred_i"], consts["planar_pred_j"],
-            r(consts["weight_i"]), r(consts["weight_j"]),
-            r(consts["onehot_i"]), r(consts["onehot_j"]))
+def _group_xs(consts, proj):
+    """Scan inputs: the pre-chunked grouped consts plus matching
+    world-point chunks (host chunking makes every scan slice a zero-copy
+    leading-axis index)."""
+    K, _, nc, _, A = consts["group_pred_i"].shape
+    proj_c = jnp.moveaxis(_pad_imgs(proj, K * nc).reshape(3, K, nc, A), 1, 0)
+    return (consts["group_pred_i"], consts["group_w_i"],
+            consts["group_perm_i"], consts["group_pred_j"],
+            consts["group_w_j"], consts["group_perm_j"], proj_c)
+
+
+def _both_sides_term(spec, consts, poses, adapt, proj_c, pi, wi, mi,
+                     pj, wj, mj):
+    return (_grouped_term(spec, poses, adapt, proj_c, pi, wi, mi,
+                          consts["total_area_i"])
+            + _grouped_term(spec, poses, adapt, proj_c, pj, wj, mj,
+                            consts["total_area_j"]))
 
 
 def alignment_loss(pts3d_fn, spec, params, consts):
@@ -162,77 +173,76 @@ def alignment_loss(pts3d_fn, spec, params, consts):
     pts3d_fn(spec, params, consts) -> (3, N, A) coordinate-planar world
     points; pass a MODULE-LEVEL function so the jit cache is keyed on a
     stable identity (optimizer.pco_pts3d_planar for the standard scene).
-    """
-    e_pad = consts["weight_i"].shape[0]
-    pw_poses, pw_adapt = _pose_stacks(spec, params, e_pad)
+
+    Scenes whose grouped consts carry K > 1 image chunks scan
+    rematerialized chunks: peak memory through forward + backward stays
+    O(nc * G * A) instead of O(E * A)."""
+    poses = pw_poses_from_params(spec, params)
+    adapt = adaptors_from_params(spec, params)
     proj = pts3d_fn(spec, params, consts)  # (3, N, A)
-    chunk = spec.edge_chunk
-    if chunk and e_pad > chunk:
-        # scan over rematerialized edge chunks: peak memory through
-        # forward + backward is O(chunk * A), not O(E * A)
-        xs = _chunked_xs(spec, consts, pw_poses, pw_adapt, e_pad)
+    K, _, nc = consts["group_pred_i"].shape[:3]
+    if K == 1:
+        return _both_sides_term(
+            spec, consts, poses, adapt, _pad_imgs(proj, nc),
+            consts["group_pred_i"][0], consts["group_w_i"][0],
+            consts["group_perm_i"][0], consts["group_pred_j"][0],
+            consts["group_w_j"][0], consts["group_perm_j"][0])
 
-        def body(acc, args):
-            term = jax.checkpoint(
-                lambda *a: _edge_term(spec, consts, a[0], a[1], proj,
-                                      *a[2:]))(*args)
-            return acc + term, None
+    xs = _group_xs(consts, proj)
 
-        loss, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
-        return loss
-    return _edge_term(spec, consts, pw_poses, pw_adapt, proj,
-                      consts["planar_pred_i"][0], consts["planar_pred_j"][0],
-                      consts["weight_i"], consts["weight_j"],
-                      consts["onehot_i"], consts["onehot_j"])
+    def body(acc, args):
+        term = jax.checkpoint(
+            lambda *a: _both_sides_term(spec, consts, poses, adapt,
+                                        a[-1], *a[:-1]))(*args)
+        return acc + term, None
+
+    loss, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
+    return loss
 
 
 def alignment_value_and_grad(pts3d_fn, spec, params, consts):
     """(loss, grads) in a single pass over the edges.
 
-    For chunked scenes the scan computes each chunk's loss AND gradient
-    contribution inline (one forward per chunk instead of the
+    For chunked scenes the scan computes each image-chunk's loss AND
+    gradient contribution inline (one forward per chunk instead of the
     jax.checkpoint fwd+recompute+bwd - measured +39% it/s at n=25/600
-    edges, scripts/exp_align_r3.py). Gradients w.r.t. the shared
-    per-image points accumulate across chunks and flow back through
-    pts3d_fn once via jax.vjp.
+    edges, scripts/exp_align_r3.py). Each chunk's world-point gradient
+    is exactly its own images' slice (grouping!), so the scan stacks
+    them with no accumulator; pose/adaptor gradients accumulate across
+    chunks and everything flows back through pts3d_fn once via jax.vjp.
     """
-    e_pad = consts["weight_i"].shape[0]
-    chunk = spec.edge_chunk
-    if not (chunk and e_pad > chunk):
+    K = consts["group_pred_i"].shape[0]
+    if K == 1:
         return jax.value_and_grad(alignment_loss, argnums=2)(
             pts3d_fn, spec, params, consts)
 
     def stage1(params):
-        pw_poses, pw_adapt = _pose_stacks(spec, params, e_pad)
-        return pw_poses, pw_adapt, pts3d_fn(spec, params, consts)
+        return (pw_poses_from_params(spec, params),
+                adaptors_from_params(spec, params),
+                pts3d_fn(spec, params, consts))
 
-    (pw_poses, pw_adapt, proj), vjp1 = jax.vjp(stage1, params)
-    xs = _chunked_xs(spec, consts, pw_poses, pw_adapt, e_pad)
+    (poses, adapt, proj), vjp1 = jax.vjp(stage1, params)
+    _, _, nc, _, A = consts["group_pred_i"].shape
+    N = proj.shape[1]
+    xs = _group_xs(consts, proj)
 
-    def chunk_term(poses, adapt, proj, *obs):
-        return _edge_term(spec, consts, poses, adapt, proj, *obs)
+    def chunk_term(poses, adapt, proj_c, obs):
+        return _both_sides_term(spec, consts, poses, adapt, proj_c, *obs)
 
     def body(acc, args):
-        loss_acc, gproj_acc = acc
-        poses_c, adapt_c, *obs = args
-        l, (gp, ga, gproj) = jax.value_and_grad(
-            chunk_term, argnums=(0, 1, 2))(poses_c, adapt_c, proj, *obs)
-        return (loss_acc + l, gproj_acc + gproj), (gp, ga)
+        loss_acc, gp_acc, ga_acc = acc
+        *obs, proj_c = args
+        l, (gp, ga, gproj_c) = jax.value_and_grad(
+            chunk_term, argnums=(0, 1, 2))(poses, adapt, proj_c,
+                                           tuple(obs))
+        return (loss_acc + l, gp_acc + gp, ga_acc + ga), gproj_c
 
-    (loss, gproj), (gposes, gadapt) = jax.lax.scan(
-        body, (jnp.zeros((), jnp.float32), jnp.zeros_like(proj)), xs)
-    gposes = gposes.reshape((e_pad,) + gposes.shape[2:])
-    gadapt = gadapt.reshape((e_pad,) + gadapt.shape[2:])
+    (loss, gposes, gadapt), gproj_c = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros_like(poses),
+               jnp.zeros_like(adapt)), xs)
+    gproj = jnp.moveaxis(gproj_c, 0, 1).reshape(3, K * nc, A)[:, :N]
     (gparams,) = vjp1((gposes, gadapt, gproj))
     return loss, gparams
-
-
-def _edge_onehot(indices, n_imgs, e_pad):
-    """(E_pad, n_imgs) 0/1 selector matrix; padded rows are all-zero (the
-    matching observation weights are zero too, so they contribute nothing)."""
-    oh = np.zeros((e_pad, n_imgs), np.float32)
-    oh[np.arange(len(indices)), np.asarray(indices)] = 1.0
-    return oh
 
 
 class BasePCOptimizer:
@@ -257,7 +267,7 @@ class BasePCOptimizer:
                  seed=0,
                  verbose=True,
                  obs_dtype=jnp.bfloat16,
-                 edge_chunk=64,
+                 edge_chunk=768,
                  mesh=None,
                  **_ignored):
         self.verbose = verbose
@@ -268,19 +278,21 @@ class BasePCOptimizer:
         # (tests/test_cloud_opt.py::TestBf16ObsAccuracyDelta). Pass
         # jnp.float32 to pin exact-reference behavior.
         self.obs_dtype = obs_dtype
-        # above this many edges the loss scans rematerialized edge chunks
-        # instead of materializing (E, A, 3) intermediates: peak HBM stays
-        # O(edge_chunk * A) through forward AND backward, so complete graphs
-        # at 25+ images and swin graphs at 50+ fit a 16 GB chip. 64 beats
-        # 128 by ~4% at n=25/600 edges under the fused value-and-grad scan
-        # (13.3 vs 12.8 it/s, exp_align2_r3) and halves peak chunk memory
+        # above this many edges the loss scans image-grouped chunks
+        # instead of materializing O(E * A) intermediates, so very large
+        # graphs still fit a 16 GB chip. The flat path is fastest while
+        # it fits: 600 edges flat = 24.2 ms/step vs 29.5 chunked-by-5
+        # (scripts/exp_align6_r3.py), and 600 edges measured ~8 GB peak -
+        # hence the 768 default. Lower it for bigger-A or busier chips.
         self.edge_chunk = edge_chunk
-        # multi-chip: shard the EDGE axis of the stacked observations over
-        # all devices of the mesh (SURVEY §5's TPU analogue of "scale" =
-        # number of aligner edges). Params stay replicated; XLA inserts the
-        # loss/grad all-reduce from the shardings. Supersedes chunking
-        # (each shard holds E/n_devices edges - the memory win is the same
-        # mechanism, spatial instead of temporal).
+        # multi-chip: shard the IMAGE axis of the grouped observations
+        # over all devices of the mesh (SURVEY §5's TPU analogue of
+        # "scale" = number of aligner edges). Each device owns its
+        # images' edge groups and their gproj slice; params stay
+        # replicated and XLA inserts the loss/pose-grad all-reduce from
+        # the shardings. Supersedes chunking (each shard holds ~E/n
+        # edges - the memory win is the same mechanism, spatial instead
+        # of temporal).
         self.mesh = mesh
         if mesh is not None:
             self.edge_chunk = 0
@@ -332,69 +344,73 @@ class BasePCOptimizer:
         w_i = [trf_np(np.asarray(c, np.float32)) for c in conf_i]
         w_j = [trf_np(np.asarray(c, np.float32)) for c in conf_j]
         odt = self.obs_dtype
-        # when the edge axis will be scanned in chunks (E > edge_chunk), the
-        # stacked tensors are padded HERE to a chunk multiple with zero-weight
-        # edges, so the loss reshapes them for free instead of slicing (a
-        # slice+reshape before lax.scan forces XLA to copy gigabytes)
-        E_pad = E
+        N = self.n_imgs
+        idx_i = [i for i, j in self.edges]
+        idx_j = [j for i, j in self.edges]
+        G_max = max(1, int(max(np.bincount(np.asarray(idx_i), minlength=N)
+                               .max(initial=0),
+                               np.bincount(np.asarray(idx_j), minlength=N)
+                               .max(initial=0))))
+        # observations are stored GROUPED BY IMAGE, coordinate-planar and
+        # pre-chunked: (K, 3, nc, G, A). Grouping removes the per-edge
+        # proj gathers from the loss entirely (the world points broadcast
+        # per image - see _grouped_term); planar keeps every loss-chain
+        # array A-minor. K = number of image chunks the loss scans; flat
+        # (K=1) up to ~edge_chunk edges, beyond that the smallest K whose
+        # chunks stay under edge_chunk edges (minimizes image padding).
         if self.edge_chunk and E > self.edge_chunk:
-            E_pad = -(-E // self.edge_chunk) * self.edge_chunk
+            nc_max = max(1, self.edge_chunk // G_max)
+            K = -(-N // nc_max)
+        else:
+            K = 1
         if self.mesh is not None:
             n_shard = int(np.prod(list(self.mesh.shape.values())))
-            E_pad = -(-E // n_shard) * n_shard
-        self._n_edges_pad = E_pad
+            K = 1
+            nc = -(-N // n_shard) * n_shard  # image axis shards evenly
+        else:
+            nc = -(-N // K)
+        N_pad = K * nc
+        self._n_img_groups = (K, nc, G_max)
 
-        def stack_pad(rows):
-            arr = np.stack([_ravel_pad(r, A) for r in rows])
-            if E_pad > E:
-                pad = np.zeros((E_pad - E,) + arr.shape[1:], arr.dtype)
-                arr = np.concatenate([arr, pad])
-            return arr
+        perm_i, valid_i = _group_layout(idx_i, N, N_pad)
+        perm_j, valid_j = _group_layout(idx_j, N, N_pad)
 
-        # prediction stacks are stored COORDINATE-PLANAR and pre-chunked:
-        # (K, 3, chunk, A), K=1 when the loss won't chunk. Planar keeps
-        # every loss-chain array A-minor (clean (8,128) tiling); the
-        # (…, A, 3) layout costs 1.7x at n=25/600 edges
-        # (scripts/exp_align5_r3.py). Chunking on the host at build time
-        # lets the lax.scan slice chunks along the leading axis for free.
-        chunk_c = E_pad
-        if self.edge_chunk and E_pad > self.edge_chunk:
-            chunk_c = self.edge_chunk
-
-        def planar_stack(rows):
-            arr = stack_pad(rows)  # (E_pad, A, 3)
+        def group_pred(rows, perm):
+            arr = np.stack([_ravel_pad(r, A) for r in rows])  # (E, A, 3)
+            g = arr[perm]  # (N_pad, G, A, 3)
             return np.ascontiguousarray(
-                arr.reshape(E_pad // chunk_c, chunk_c, A, 3)
-                .transpose(0, 3, 1, 2))
+                g.transpose(3, 0, 1, 2).reshape(3, K, nc, -1, A)
+                .transpose(1, 0, 2, 3, 4))
+
+        def group_w(rows, perm, valid):
+            arr = np.stack([_ravel_pad(r, A) for r in rows])  # (E, A)
+            g = arr[perm] * valid[..., None]  # (N_pad, G, A)
+            return np.ascontiguousarray(g.reshape(K, nc, -1, A))
 
         self.consts = {
-            "planar_pred_i": jnp.asarray(planar_stack(pred_i), odt),
-            "planar_pred_j": jnp.asarray(planar_stack(pred_j), odt),
-            # pre-transformed conf weights; padding has weight exactly 0
-            "weight_i": jnp.asarray(stack_pad(w_i), odt),
-            "weight_j": jnp.asarray(stack_pad(w_j), odt),
-            # one-hot edge->image selectors: the loss "gathers" each edge's
-            # image pointmap with a 0/1 matmul instead of indexed gather -
-            # the BACKWARD of a gather is a scatter-add, which the TPU runs
-            # ~2x slower than the pair of tiny matmuls (scripts history:
-            # 4.2 vs 2.0 ms/iter on the N=10 edge-gather gradient)
-            "onehot_i": jnp.asarray(_edge_onehot(
-                [i for i, j in self.edges], self.n_imgs, E_pad)),
-            "onehot_j": jnp.asarray(_edge_onehot(
-                [j for i, j in self.edges], self.n_imgs, E_pad)),
+            "group_pred_i": jnp.asarray(group_pred(pred_i, perm_i), odt),
+            "group_pred_j": jnp.asarray(group_pred(pred_j, perm_j), odt),
+            # pre-transformed conf weights; group padding has weight 0
+            "group_w_i": jnp.asarray(group_w(w_i, perm_i, valid_i), odt),
+            "group_w_j": jnp.asarray(group_w(w_j, perm_j, valid_j), odt),
+            # group slot -> edge id, for the tiny pose/adaptor gathers
+            "group_perm_i": jnp.asarray(perm_i.reshape(K, nc, -1)),
+            "group_perm_j": jnp.asarray(perm_j.reshape(K, nc, -1)),
         }
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             axes = tuple(self.mesh.axis_names)
-            # planar stacks carry the edge axis at position 2 (K=1 here,
-            # since mesh supersedes chunking); the rest lead with it
+            # multi-chip: shard the IMAGE axis (position 2 of the K=1
+            # grouped stacks). Each device owns its images' groups AND
+            # their gproj slice - the only collectives XLA inserts are
+            # the scalar loss psum and the tiny pose-grad reduce.
             specs = {
-                "planar_pred_i": PartitionSpec(None, None, axes),
-                "planar_pred_j": PartitionSpec(None, None, axes),
-                "weight_i": PartitionSpec(axes),
-                "weight_j": PartitionSpec(axes),
-                "onehot_i": PartitionSpec(axes),
-                "onehot_j": PartitionSpec(axes),
+                "group_pred_i": PartitionSpec(None, None, axes),
+                "group_pred_j": PartitionSpec(None, None, axes),
+                "group_w_i": PartitionSpec(None, axes),
+                "group_w_j": PartitionSpec(None, axes),
+                "group_perm_i": PartitionSpec(None, axes),
+                "group_perm_j": PartitionSpec(None, axes),
             }
             self.consts = {
                 k: jax.device_put(v, NamedSharding(self.mesh, specs[k]))

@@ -80,7 +80,7 @@ ALL_DISTS = dict(l1=l1_dist, l2=l2_dist)
 
 def planar_dist(mode, d2):
     """Per-pixel distance from the squared distance, for the planar loss
-    path where the coordinate axis is unrolled (base_opt._edge_term): the
+    path where the coordinate axis is unrolled (base_opt._grouped_term): the
     three squared diffs are accumulated plane-by-plane and only the final
     scalarization differs per mode. Same grad-safe clamp as l1_dist."""
     if mode == "l1":

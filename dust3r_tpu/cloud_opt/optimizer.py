@@ -28,7 +28,7 @@ def pco_pts3d_planar(spec, params, consts):
     learnables (pure; reference optimizer.py:170-211): exp(log-depth)
     back-projected through focal/pp and transformed by the per-image
     pose. Planar (vs (N, A, 3)) keeps the whole chain A-minor - see
-    base_opt._edge_term - with the pose applied as scalar-broadcast
+    base_opt._grouped_term - with the pose applied as scalar-broadcast
     FMAs. Module-level so the jit cache key is stable across scene
     instances."""
     focals = jnp.exp(params["im_focals"] / spec.focal_break)  # (N,1|2)

@@ -304,10 +304,10 @@ class TestEdgeChunking:
 
 
 class TestMeshShardedEdges:
-    """Edge-axis sharding over a device mesh (SURVEY §5's TPU analogue of
-    aligner scale): stacked observations sharded over all mesh devices,
-    params replicated, XLA inserts the loss/grad all-reduce. Must match
-    the single-device path."""
+    """Image-axis sharding of the grouped observations over a device
+    mesh (SURVEY §5's TPU analogue of aligner scale): each device owns
+    its images' edge groups, params replicated, XLA inserts the
+    loss/pose-grad all-reduce. Must match the single-device path."""
 
     def _mesh(self):
         import jax
@@ -322,9 +322,10 @@ class TestMeshShardedEdges:
                              verbose=False, edge_chunk=0)
         shd = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
                              verbose=False, mesh=self._mesh())
-        # 30 edges over 8 devices -> padded to 32, 4 per shard
-        assert shd._n_edges_pad == 32
-        assert shd.consts["planar_pred_i"].sharding.num_devices == 8
+        # 6 images over 8 devices -> image axis padded to 8, 1 per shard
+        K, nc, G = shd._n_img_groups
+        assert (K, nc) == (1, 8)
+        assert shd.consts["group_pred_i"].sharding.num_devices == 8
         params = dict(ref.params)
         l_ref, g_ref = jax.value_and_grad(ref.loss_fn)(params,
                                                        dict(ref.consts))
