@@ -11,57 +11,72 @@ from collections import defaultdict
 
 import numpy as np
 
+_MARKER = "_1_depth.exr"  # one per rendered sub-scene
+_INDEX_NAME = "Habitat_all_scenes.txt"
+
+
+def _walk_for_subscenes(habitat_root):
+    """Find every rendered sub-scene under the root (slow full walk)."""
+    found = []
+    for dirpath, _dirs, filenames in os.walk(habitat_root):
+        rel = os.path.relpath(dirpath, habitat_root)
+        found += [os.path.join(rel, name[: -len(_MARKER)])
+                  for name in filenames if name.endswith(_MARKER)]
+    return found
+
+
+def _load_or_build_index(habitat_root, assume_yes):
+    index_path = os.path.join(habitat_root, _INDEX_NAME)
+    try:
+        return open(index_path).read().splitlines()
+    except IOError:
+        pass
+    if not assume_yes and \
+            input("parsing sub-folders to find scenes? (y/n) ") != "y":
+        return None
+    subscenes = _walk_for_subscenes(habitat_root)
+    with open(index_path, "w") as out:
+        out.write("\n".join(subscenes))
+    print(f">> wrote {index_path}")
+    return subscenes
+
+
+def _dump_capped(scene_groups, cap, path):
+    """Write up to `cap` shuffled sub-scenes; skip if fewer exist."""
+    flat = [os.path.join(scene, sid)
+            for scene, ids in scene_groups for sid in ids]
+    np.random.shuffle(flat)
+    if len(flat) >= cap:
+        with open(path, "w") as out:
+            out.write("\n".join(flat[:cap]))
+        print(f">> wrote {path}")
+
 
 def find_all_scenes(habitat_root, n_scenes=(100000,), assume_yes=False):
     np.random.seed(777)
 
-    fpath = os.path.join(habitat_root, "Habitat_all_scenes.txt")
-    try:
-        list_subscenes = open(fpath).read().splitlines()
-    except IOError:
-        if not assume_yes and \
-                input("parsing sub-folders to find scenes? (y/n) ") != "y":
-            return
-        list_subscenes = []
-        for root, dirs, files in os.walk(habitat_root):
-            for f in files:
-                if not f.endswith("_1_depth.exr"):
-                    continue
-                scene = os.path.join(os.path.relpath(root, habitat_root),
-                                     f.replace("_1_depth.exr", ""))
-                list_subscenes.append(scene)
-        with open(fpath, "w") as f:
-            f.write("\n".join(list_subscenes))
-        print(f">> wrote {fpath}")
+    subscenes = _load_or_build_index(habitat_root, assume_yes)
+    if subscenes is None:
+        return
+    print(f"Loaded {len(subscenes)} sub-scenes")
 
-    print(f"Loaded {len(list_subscenes)} sub-scenes")
+    by_scene = defaultdict(list)
+    for entry in subscenes:
+        parent, sid = os.path.split(entry)
+        by_scene[parent].append(sid)
+    grouped = list(by_scene.items())
+    print(f"from {len(grouped)} scenes in total")
 
-    list_scenes = defaultdict(list)
-    for scene in list_subscenes:
-        scene, sid = os.path.split(scene)
-        list_scenes[scene].append(sid)
-    list_scenes = list(list_scenes.items())
-    print(f"from {len(list_scenes)} scenes in total")
+    # whole scenes (not sub-scenes) are assigned to a split: 10% val
+    np.random.shuffle(grouped)
+    n_val = len(grouped) // 10
+    val_split, train_split = grouped[:n_val], grouped[n_val:]
 
-    np.random.shuffle(list_scenes)
-    train_scenes = list_scenes[len(list_scenes) // 10:]
-    val_scenes = list_scenes[:len(list_scenes) // 10]
-
-    def write_scene_list(scenes, n, path):
-        sub_scenes = [os.path.join(scene, sid)
-                      for scene, ids in scenes for sid in ids]
-        np.random.shuffle(sub_scenes)
-        if len(sub_scenes) < n:
-            return
-        with open(path, "w") as f:
-            f.write("\n".join(sub_scenes[:n]))
-        print(f">> wrote {path}")
-
-    for n in n_scenes:
-        write_scene_list(train_scenes, n, os.path.join(
-            habitat_root, f"Habitat_{n}_scenes_train.txt"))
-        write_scene_list(val_scenes, n // 10, os.path.join(
-            habitat_root, f"Habitat_{n // 10}_scenes_val.txt"))
+    for cap in n_scenes:
+        _dump_capped(train_split, cap, os.path.join(
+            habitat_root, f"Habitat_{cap}_scenes_train.txt"))
+        _dump_capped(val_split, cap // 10, os.path.join(
+            habitat_root, f"Habitat_{cap // 10}_scenes_val.txt"))
 
 
 if __name__ == "__main__":

@@ -18,6 +18,9 @@ from ..utils.transforms import ImgNorm
 from ..utils import cropping
 from ...utils.geometry import depthmap_to_absolute_camera_coordinates
 
+_VIEW_VALUE_DTYPES = (np.float32, bool, np.bool_, np.int32, np.int64,
+                      np.uint8)
+
 
 class BaseStereoViewDataset(EasyDataset):
     def __init__(self, *, split=None, resolution=None, transform=ImgNorm,
@@ -46,6 +49,47 @@ class BaseStereoViewDataset(EasyDataset):
     def _get_views(self, idx, resolution, rng):
         raise NotImplementedError
 
+    # -- per-item pipeline ------------------------------------------------
+
+    def _item_rng(self, idx):
+        """Per-item generator: seeded datasets are reproducible per index;
+        unseeded ones keep one worker-local stream."""
+        if self.seed:
+            self._rng = np.random.default_rng(seed=self.seed + idx)
+        elif not hasattr(self, "_rng"):
+            entropy = np.random.SeedSequence().entropy % (2 ** 63)
+            self._rng = np.random.default_rng(seed=int(entropy))
+        return self._rng
+
+    def _finalize_view(self, view, view_idx):
+        """Transform the image, derive pts3d/valid_mask, validate dtypes."""
+        assert not ({"pts3d", "valid_mask"} & view.keys()), \
+            "pts3d/valid_mask are computed here from depth+K+pose"
+
+        pil = view["img"]
+        view["true_shape"] = np.int32((pil.size[1], pil.size[0]))  # (H, W)
+        view["img"] = self.transform(pil)  # (H, W, 3) float32
+
+        assert "camera_intrinsics" in view
+        if "camera_pose" in view:
+            assert np.isfinite(view["camera_pose"]).all(), \
+                f"NaN in camera pose for view {view_name(view)}"
+        else:
+            view["camera_pose"] = np.full((4, 4), np.nan, np.float32)
+        pose = view["camera_pose"]
+        assert np.isfinite(view["depthmap"]).all(), \
+            f"NaN in depthmap for view {view_name(view)}"
+
+        pts3d, valid = depthmap_to_absolute_camera_coordinates(
+            view["depthmap"], view["camera_intrinsics"], pose)
+        pts3d = np.asarray(pts3d)
+        view["pts3d"] = pts3d
+        view["valid_mask"] = np.asarray(valid) & np.isfinite(pts3d).all(-1)
+
+        for key, val in view.items():
+            good, err = is_good_type(key, val)
+            assert good, f"{err} with {key}={val} for {view_name(view)}"
+
     def __getitem__(self, idx):
         if isinstance(idx, tuple):
             idx, ar_idx = idx
@@ -53,64 +97,29 @@ class BaseStereoViewDataset(EasyDataset):
             assert len(self._resolutions) == 1
             ar_idx = 0
 
-        if self.seed:
-            self._rng = np.random.default_rng(seed=self.seed + idx)
-        elif not hasattr(self, "_rng"):
-            self._rng = np.random.default_rng(
-                seed=int(np.random.SeedSequence().entropy % (2 ** 63)))
-
-        resolution = self._resolutions[ar_idx]
-        views = self._get_views(idx, resolution, self._rng)
+        rng = self._item_rng(idx)
+        views = self._get_views(idx, self._resolutions[ar_idx], rng)
         assert len(views) == self.num_views
 
         for v, view in enumerate(views):
-            assert "pts3d" not in view and "valid_mask" not in view, \
-                "pts3d/valid_mask are computed here from depth+K+pose"
             view["idx"] = (idx, ar_idx, v)
-
-            width, height = view["img"].size
-            view["true_shape"] = np.int32((height, width))
-            view["img"] = self.transform(view["img"])  # (H, W, 3) float32
-
-            assert "camera_intrinsics" in view
-            if "camera_pose" not in view:
-                view["camera_pose"] = np.full((4, 4), np.nan, np.float32)
-            else:
-                assert np.isfinite(view["camera_pose"]).all(), \
-                    f"NaN in camera pose for view {view_name(view)}"
-            assert np.isfinite(view["depthmap"]).all(), \
-                f"NaN in depthmap for view {view_name(view)}"
-
-            pts3d, valid_mask = depthmap_to_absolute_camera_coordinates(
-                view["depthmap"], view["camera_intrinsics"],
-                view["camera_pose"])
-            pts3d = np.asarray(pts3d)
-            view["pts3d"] = pts3d
-            view["valid_mask"] = (np.asarray(valid_mask)
-                                  & np.isfinite(pts3d).all(axis=-1))
-
-            for key, val in view.items():
-                good, err = is_good_type(key, val)
-                assert good, f"{err} with {key}={val} for {view_name(view)}"
+            self._finalize_view(view, v)
 
         for view in views:
             transpose_to_landscape(view)
-            view["rng"] = int.from_bytes(self._rng.bytes(4), "big")
+            view["rng"] = int.from_bytes(rng.bytes(4), "big")
         return views
 
     def _set_resolutions(self, resolutions):
         assert resolutions is not None, "undefined resolution"
         if not isinstance(resolutions, list):
             resolutions = [resolutions]
-        self._resolutions = []
-        for resolution in resolutions:
-            if isinstance(resolution, int):
-                width = height = resolution
-            else:
-                width, height = resolution
+        parsed = [(r, r) if isinstance(r, int) else tuple(r)
+                  for r in resolutions]
+        for width, height in parsed:
             assert isinstance(width, int) and isinstance(height, int)
-            assert width >= height
-            self._resolutions.append((width, height))
+            assert width >= height, "landscape-ordered (W, H) expected"
+        self._resolutions = parsed
 
     def _crop_resize_if_necessary(self, image, depthmap, intrinsics,
                                   resolution, rng=None, info=None):
@@ -119,43 +128,43 @@ class BaseStereoViewDataset(EasyDataset):
         if not isinstance(image, PIL.Image.Image):
             image = PIL.Image.fromarray(image)
 
-        W, H = image.size
-        cx, cy = intrinsics[:2, 2].round().astype(int)
-        min_margin_x = min(cx, W - cx)
-        min_margin_y = min(cy, H - cy)
-        l, t = cx - min_margin_x, cy - min_margin_y
-        r, b = cx + min_margin_x, cy + min_margin_y
+        # 1) largest crop centered on the principal point
+        pp = intrinsics[:2, 2].round().astype(int)
+        margin = np.minimum(pp, np.array(image.size) - pp)
+        center_box = (*(pp - margin), *(pp + margin))
         image, depthmap, intrinsics = cropping.crop_image_depthmap(
-            image, depthmap, intrinsics, (l, t, r, b))
+            image, depthmap, intrinsics, center_box)
 
-        W, H = image.size
+        # 2) pick the target orientation (portrait flips it; near-square
+        #    inputs coin-flip so both orientations are trained)
         assert resolution[0] >= resolution[1]
-        if H > 1.1 * W:
-            resolution = resolution[::-1]  # portrait
-        elif 0.9 < H / W < 1.1 and resolution[0] != resolution[1]:
-            if rng.integers(2):  # square: coin-flip orientation
+        aspect = image.size[1] / image.size[0]  # H / W
+        if aspect > 1.1:
+            resolution = resolution[::-1]
+        elif 0.9 < aspect < 1.1 and resolution[0] != resolution[1]:
+            if rng.integers(2):
                 resolution = resolution[::-1]
 
+        # 3) rescale (with optional crop-augmentation headroom)
         target_resolution = np.array(resolution)
         if self.aug_crop > 1:
             target_resolution += rng.integers(0, self.aug_crop)
         image, depthmap, intrinsics = cropping.rescale_image_depthmap(
             image, depthmap, intrinsics, target_resolution)
 
+        # 4) final crop placed so the output intrinsics stay consistent
         intrinsics2 = cropping.camera_matrix_of_crop(
             intrinsics, image.size, resolution, offset_factor=0.5)
         crop_bbox = cropping.bbox_from_intrinsics_in_out(
             intrinsics, intrinsics2, resolution)
-        image, depthmap, intrinsics2 = cropping.crop_image_depthmap(
+        return cropping.crop_image_depthmap(
             image, depthmap, intrinsics, crop_bbox)
-        return image, depthmap, intrinsics2
 
 
 def is_good_type(key, v):
     if isinstance(v, (str, int, tuple)):
         return True, None
-    if v.dtype not in (np.float32, bool, np.bool_, np.int32, np.int64,
-                       np.uint8):
+    if v.dtype not in _VIEW_VALUE_DTYPES:
         return False, f"bad dtype={v.dtype}"
     return True, None
 
@@ -180,8 +189,6 @@ def transpose_to_landscape(view):
     """
     height, width = view["true_shape"]
     if width < height:
-        view["img"] = view["img"].swapaxes(0, 1)
-        view["valid_mask"] = view["valid_mask"].swapaxes(0, 1)
-        view["depthmap"] = view["depthmap"].swapaxes(0, 1)
-        view["pts3d"] = view["pts3d"].swapaxes(0, 1)
+        for key in ("img", "valid_mask", "depthmap", "pts3d"):
+            view[key] = view[key].swapaxes(0, 1)
         view["camera_intrinsics"] = view["camera_intrinsics"][[1, 0, 2]]

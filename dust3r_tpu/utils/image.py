@@ -19,13 +19,20 @@ from PIL.ImageOps import exif_transpose
 
 os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 
-try:
-    from pillow_heif import register_heif_opener
 
-    register_heif_opener()
-    heif_support_enabled = True
-except ImportError:  # optional dependency, same as reference
-    heif_support_enabled = False
+def _try_enable_heif() -> bool:
+    try:
+        import pillow_heif
+    except ImportError:  # optional dependency, same as reference
+        return False
+    pillow_heif.register_heif_opener()
+    return True
+
+
+heif_support_enabled = _try_enable_heif()
+
+_PLAIN_EXTS = (".jpg", ".jpeg", ".png")
+_HEIF_EXTS = (".heic", ".heif")
 
 
 def imread_cv2(path, options=None):
@@ -36,26 +43,22 @@ def imread_cv2(path, options=None):
     opt-out era) - the reference pipeline stores all depthmaps as .exr."""
     import cv2
 
-    if options is None:
-        options = cv2.IMREAD_COLOR
+    flags = cv2.IMREAD_COLOR if options is None else options
     if path.lower().endswith(".exr"):
-        img = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
-        if img is None:
-            from .exr import read_exr
-            img = read_exr(path)
-        return img
-    img = cv2.imread(path, options)
-    if img is None:
-        raise IOError(f"Could not load image={path} with {options=}")
-    if img.ndim == 3:
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    return img
+        depth = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+        if depth is not None:
+            return depth
+        from .exr import read_exr
+        return read_exr(path)
+    decoded = cv2.imread(path, flags)
+    if decoded is None:
+        raise IOError(f"Could not load image={path} with options={flags}")
+    return (cv2.cvtColor(decoded, cv2.COLOR_BGR2RGB)
+            if decoded.ndim == 3 else decoded)
 
 
 def img_to_arr(img):
-    if isinstance(img, str):
-        img = imread_cv2(img)
-    return img
+    return imread_cv2(img) if isinstance(img, str) else img
 
 
 def normalize_img(arr):
@@ -67,49 +70,73 @@ def rgb(ftensor, true_shape=None):
     """Undo ImgNorm for display: float NHWC/HWC in [-1,1] -> [0,1]."""
     if isinstance(ftensor, list):
         return [rgb(x, true_shape=true_shape) for x in ftensor]
-    ftensor = np.asarray(ftensor)
-    if ftensor.ndim == 3 and ftensor.shape[0] == 3:
-        ftensor = ftensor.transpose(1, 2, 0)
-    elif ftensor.ndim == 4 and ftensor.shape[1] == 3:
-        ftensor = ftensor.transpose(0, 2, 3, 1)
+    arr = np.asarray(ftensor)
+    # accept channel-first layouts from torch-side callers
+    if arr.ndim == 3 and arr.shape[0] == 3:
+        arr = np.moveaxis(arr, 0, -1)
+    elif arr.ndim == 4 and arr.shape[1] == 3:
+        arr = np.moveaxis(arr, 1, -1)
     if true_shape is not None:
-        H, W = true_shape
-        ftensor = ftensor[:H, :W]
-    if ftensor.dtype == np.uint8:
-        img = np.float32(ftensor) / 255
-    else:
-        img = (ftensor * 0.5) + 0.5
-    return img.clip(0, 1)
+        arr = arr[: true_shape[0], : true_shape[1]]
+    if arr.dtype == np.uint8:
+        return (arr / np.float32(255)).clip(0, 1)
+    return (arr * 0.5 + 0.5).clip(0, 1)
 
 
 def _resize_long_edge(img: PIL.Image.Image, long_edge_size: int):
-    S = max(img.size)
-    interp = PIL.Image.LANCZOS if S > long_edge_size else PIL.Image.BICUBIC
-    new_size = tuple(int(round(x * long_edge_size / S)) for x in img.size)
-    return img.resize(new_size, interp)
+    longest = max(img.size)
+    scale = long_edge_size / longest
+    target = tuple(int(round(side * scale)) for side in img.size)
+    resample = (PIL.Image.LANCZOS if longest > long_edge_size
+                else PIL.Image.BICUBIC)
+    return img.resize(target, resample)
+
+
+def _center_crop_box(width, height, size, square_ok, patch_size):
+    """Crop box (l, t, r, b) around the image center per the recipe."""
+    cx, cy = width // 2, height // 2
+    if size == 224:
+        # largest centered square
+        hw = hh = min(cx, cy)
+    else:
+        # largest centered patch-multiple rectangle; 3:4 if square
+        hw = ((2 * cx) // patch_size) * patch_size / 2
+        hh = ((2 * cy) // patch_size) * patch_size / 2
+        if width == height and not square_ok:
+            hh = 3 * hw / 4
+    return (cx - hw, cy - hh, cx + hw, cy + hh)
 
 
 def preprocess_pil(img: PIL.Image.Image, size: int, square_ok=False,
                    patch_size=16):
     """Resize+crop one PIL image per the reference recipe; returns PIL."""
-    W1, H1 = img.size
     if size == 224:
-        # short side to `size`, then center square crop
-        img = _resize_long_edge(img, round(size * max(W1 / H1, H1 / W1)))
+        # short side lands on `size` (long edge = size * aspect)
+        aspect = max(img.size) / min(img.size)
+        resized = _resize_long_edge(img, round(size * aspect))
     else:
-        img = _resize_long_edge(img, size)
-    W, H = img.size
-    cx, cy = W // 2, H // 2
-    if size == 224:
-        half = min(cx, cy)
-        img = img.crop((cx - half, cy - half, cx + half, cy + half))
+        resized = _resize_long_edge(img, size)
+    box = _center_crop_box(*resized.size, size, square_ok, patch_size)
+    return resized.crop(box)
+
+
+def _iter_source_images(folder_or_list):
+    """Yield (display_name, PIL image) pairs from a folder or mixed list."""
+    if isinstance(folder_or_list, str):
+        root = folder_or_list
+        entries = sorted(os.listdir(root))
+    elif isinstance(folder_or_list, list):
+        root, entries = "", folder_or_list
     else:
-        halfw = ((2 * cx) // patch_size) * patch_size / 2
-        halfh = ((2 * cy) // patch_size) * patch_size / 2
-        if not square_ok and W == H:
-            halfh = 3 * halfw / 4
-        img = img.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
-    return img
+        raise ValueError(f"bad folder_or_list={folder_or_list!r}")
+
+    accepted = _PLAIN_EXTS + (_HEIF_EXTS if heif_support_enabled else ())
+    for entry in entries:
+        if isinstance(entry, PIL.Image.Image):
+            yield "<PIL image>", entry
+        elif str(entry).lower().endswith(accepted):
+            yield entry, PIL.Image.open(os.path.join(root, entry))
+    # non-image files are silently skipped, as in the reference
 
 
 def load_images(folder_or_list, size, square_ok=False, verbose=True,
@@ -119,36 +146,22 @@ def load_images(folder_or_list, size, square_ok=False, verbose=True,
     Each entry: {img: (1, H, W, 3) float32 in [-1, 1], true_shape:
     int32 [[H, W]], idx, instance}.
     """
-    if isinstance(folder_or_list, str):
-        root = folder_or_list
-        content = sorted(os.listdir(folder_or_list))
-    elif isinstance(folder_or_list, list):
-        root, content = "", folder_or_list
-    else:
-        raise ValueError(f"bad folder_or_list={folder_or_list!r}")
-
-    exts = [".jpg", ".jpeg", ".png"]
-    if heif_support_enabled:
-        exts += [".heic", ".heif"]
-
-    imgs = []
-    for path in content:
-        if isinstance(path, PIL.Image.Image):
-            img = path
-        else:
-            if not str(path).lower().endswith(tuple(exts)):
-                continue
-            img = PIL.Image.open(os.path.join(root, path))
-        img = exif_transpose(img).convert("RGB")
-        W1, H1 = img.size
-        img = preprocess_pil(img, size, square_ok, patch_size)
-        W2, H2 = img.size
+    views = []
+    for name, source in _iter_source_images(folder_or_list):
+        upright = exif_transpose(source).convert("RGB")
+        cropped = preprocess_pil(upright, size, square_ok, patch_size)
         if verbose:
-            print(f" - adding {path} with resolution {W1}x{H1} --> {W2}x{H2}")
-        arr = normalize_img(np.asarray(img))[None]  # (1, H, W, 3)
-        imgs.append(dict(img=arr, true_shape=np.int32([[H2, W2]]),
-                         idx=len(imgs), instance=str(len(imgs))))
-    assert imgs, f"no images found at {root}"
+            print(f" - adding {name} with resolution "
+                  f"{upright.size[0]}x{upright.size[1]} --> "
+                  f"{cropped.size[0]}x{cropped.size[1]}")
+        width, height = cropped.size
+        views.append(dict(
+            img=normalize_img(np.asarray(cropped))[None],  # (1, H, W, 3)
+            true_shape=np.int32([[height, width]]),
+            idx=len(views),
+            instance=str(len(views)),
+        ))
+    assert views, f"no images found at {folder_or_list}"
     if verbose:
-        print(f" (Found {len(imgs)} images)")
-    return imgs
+        print(f" (Found {len(views)} images)")
+    return views
