@@ -50,7 +50,8 @@ def _reference_losses():
     return losses
 
 
-def test_two_process_cluster_matches_single_device(tmp_path):
+def _run_cluster():
+    """Launch the 2-process cluster, return (returncodes, outputs)."""
     port = _free_port()
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=2",
@@ -65,15 +66,28 @@ def test_two_process_cluster_matches_single_device(tmp_path):
             cwd=REPO, env=env)
         for rank in range(2)
     ]
-    outs = []
-    for rank, p in enumerate(workers):
+    outs, codes = [], []
+    for p in workers:
         try:
             out, _ = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
         outs.append(out.decode())
-        assert p.returncode == 0, f"rank {rank} failed:\n{outs[-1]}"
+        codes.append(p.returncode)
+    return codes, outs
+
+
+def test_two_process_cluster_matches_single_device(tmp_path):
+    codes, outs = _run_cluster()
+    if any(codes) and any("DEADLINE_EXCEEDED" in o for o in outs):
+        # Gloo's first-collective KV fetch has a fixed 30 s deadline that
+        # a loaded single-core CI host can miss while both workers are
+        # still compiling. Environmental, not a product failure: retry
+        # once before judging.
+        codes, outs = _run_cluster()
+    for rank, (code, out) in enumerate(zip(codes, outs)):
+        assert code == 0, f"rank {rank} failed:\n{out}"
 
     def field(out, key):
         return [line.split()[1] for line in out.splitlines()
