@@ -82,24 +82,49 @@ def adaptors_from_params(spec, params):
     return jnp.exp(adapt / spec.pw_break)
 
 
-def _group_layout(indices, n_imgs, n_pad):
+def _group_layout(indices, n_imgs, g_cap=None):
     """Host helper: edge ids grouped by the image whose world points the
     side compares against (idx_i for side i, idx_j for side j).
 
-    Returns perm (n_pad, G) int32 and valid (n_pad, G) float32, G = max
-    per-image edge count. Pad slots point at edge 0; the weights are
-    zeroed through `valid`, so they contribute exactly nothing."""
+    Returns (perm (R, G) int32, valid (R, G) float32, row_img (R,) int32).
+    G = min(g_cap, max per-image edge count); an image with more than G
+    edges spans several consecutive rows, all mapped back to it through
+    row_img. Without a cap R == n_imgs and row_img == arange (one row per
+    image). Pad slots point at edge 0; the weights are zeroed through
+    `valid`, so they contribute exactly nothing."""
     indices = np.asarray(indices)
     counts = np.bincount(indices, minlength=n_imgs)
     G = max(1, int(counts.max()))
-    perm = np.zeros((n_pad, G), np.int32)
-    valid = np.zeros((n_pad, G), np.float32)
+    if g_cap:
+        G = min(G, int(g_cap))
+        rows_per_img = np.maximum(1, -(-counts // G))
+    else:
+        rows_per_img = np.ones(n_imgs, np.int64)
+    row0 = np.concatenate([[0], np.cumsum(rows_per_img)])
+    R = int(row0[-1])
+    perm = np.zeros((R, G), np.int32)
+    valid = np.zeros((R, G), np.float32)
+    row_img = np.zeros(R, np.int32)
+    for n in range(n_imgs):
+        row_img[row0[n]:row0[n + 1]] = n
     slot = np.zeros(n_imgs, np.int32)
     for e, n in enumerate(indices):
-        perm[n, slot[n]] = e
-        valid[n, slot[n]] = 1.0
+        s = slot[n]
+        perm[row0[n] + s // G, s % G] = e
+        valid[row0[n] + s // G, s % G] = 1.0
         slot[n] += 1
-    return perm, valid
+    return perm, valid, row_img
+
+
+def _pad_rows(perm, valid, row_img, r_pad):
+    """Zero-pad the row axis to r_pad (pad rows: edge 0 / image 0 with
+    zero weights — they contribute nothing)."""
+    extra = r_pad - len(perm)
+    if extra == 0:
+        return perm, valid, row_img
+    return (np.pad(perm, ((0, extra), (0, 0))),
+            np.pad(valid, ((0, extra), (0, 0))),
+            np.pad(row_img, (0, extra)))
 
 
 def _grouped_term(spec, poses, adapt, proj, pred, w, perm, total):
@@ -150,20 +175,36 @@ def _pad_imgs(proj, n_pad):
 def _group_xs(consts, proj):
     """Scan inputs: the pre-chunked grouped consts plus matching
     world-point chunks (host chunking makes every scan slice a zero-copy
-    leading-axis index)."""
+    leading-axis index). Split-row scenes (see `_group_layout` g_cap)
+    carry row->image maps instead of pre-sliced world points; the takes
+    happen inside the scan body against the full (3, N, A) points."""
+    obs = (consts["group_pred_i"], consts["group_w_i"],
+           consts["group_perm_i"], consts["group_pred_j"],
+           consts["group_w_j"], consts["group_perm_j"])
+    if "group_img_i" in consts:
+        return obs + (consts["group_img_i"], consts["group_img_j"])
     K, _, nc, _, A = consts["group_pred_i"].shape
     proj_c = jnp.moveaxis(_pad_imgs(proj, K * nc).reshape(3, K, nc, A), 1, 0)
-    return (consts["group_pred_i"], consts["group_w_i"],
-            consts["group_perm_i"], consts["group_pred_j"],
-            consts["group_w_j"], consts["group_perm_j"], proj_c)
+    return obs + (proj_c,)
 
 
-def _both_sides_term(spec, consts, poses, adapt, proj_c, pi, wi, mi,
-                     pj, wj, mj):
-    return (_grouped_term(spec, poses, adapt, proj_c, pi, wi, mi,
+def _both_sides_term(spec, consts, poses, adapt, proj_i, proj_j,
+                     pi, wi, mi, pj, wj, mj):
+    return (_grouped_term(spec, poses, adapt, proj_i, pi, wi, mi,
                           consts["total_area_i"])
-            + _grouped_term(spec, poses, adapt, proj_c, pj, wj, mj,
+            + _grouped_term(spec, poses, adapt, proj_j, pj, wj, mj,
                             consts["total_area_j"]))
+
+
+def _chunk_projs(proj, args):
+    """Per-side world-point rows for one chunk's scan slice: either the
+    pre-sliced (3, nc, A) chunk (one row per image) or, for split-row
+    scenes, takes through the chunk's row->image maps."""
+    if len(args) == 8:  # split rows: (*obs6, img_i, img_j)
+        obs, (ii, ij) = args[:6], args[6:]
+        return obs, jnp.take(proj, ii, axis=1), jnp.take(proj, ij, axis=1)
+    obs, proj_c = args[:6], args[6]
+    return obs, proj_c, proj_c
 
 
 def alignment_loss(pts3d_fn, spec, params, consts):
@@ -182,18 +223,20 @@ def alignment_loss(pts3d_fn, spec, params, consts):
     proj = pts3d_fn(spec, params, consts)  # (3, N, A)
     K, _, nc = consts["group_pred_i"].shape[:3]
     if K == 1:
-        return _both_sides_term(
-            spec, consts, poses, adapt, _pad_imgs(proj, nc),
-            consts["group_pred_i"][0], consts["group_w_i"][0],
-            consts["group_perm_i"][0], consts["group_pred_j"][0],
-            consts["group_w_j"][0], consts["group_perm_j"][0])
+        xs1 = jax.tree.map(lambda x: x[0], _group_xs(consts, proj))
+        obs, proj_i, proj_j = _chunk_projs(proj, xs1)
+        return _both_sides_term(spec, consts, poses, adapt,
+                                proj_i, proj_j, *obs)
 
     xs = _group_xs(consts, proj)
 
     def body(acc, args):
-        term = jax.checkpoint(
-            lambda *a: _both_sides_term(spec, consts, poses, adapt,
-                                        a[-1], *a[:-1]))(*args)
+        def term_fn(*a):
+            obs, proj_i, proj_j = _chunk_projs(proj, a)
+            return _both_sides_term(spec, consts, poses, adapt,
+                                    proj_i, proj_j, *obs)
+
+        term = jax.checkpoint(term_fn)(*args)
         return acc + term, None
 
     loss, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
@@ -226,8 +269,32 @@ def alignment_value_and_grad(pts3d_fn, spec, params, consts):
     N = proj.shape[1]
     xs = _group_xs(consts, proj)
 
+    if "group_img_i" in consts:
+        # split-row scenes: a chunk's rows are not an image slice, so the
+        # world-point gradient accumulates through the in-chunk takes
+        # into a full (3, N, A) buffer instead of stacking slices
+        def body(acc, args):
+            loss_acc, gp_acc, ga_acc, gproj_acc = acc
+
+            def term(poses, adapt, proj):
+                obs, proj_i, proj_j = _chunk_projs(proj, args)
+                return _both_sides_term(spec, consts, poses, adapt,
+                                        proj_i, proj_j, *obs)
+
+            l, (gp, ga, gproj_c) = jax.value_and_grad(
+                term, argnums=(0, 1, 2))(poses, adapt, proj)
+            return (loss_acc + l, gp_acc + gp, ga_acc + ga,
+                    gproj_acc + gproj_c), None
+
+        (loss, gposes, gadapt, gproj), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), jnp.zeros_like(poses),
+                   jnp.zeros_like(adapt), jnp.zeros_like(proj)), xs)
+        (gparams,) = vjp1((gposes, gadapt, gproj))
+        return loss, gparams
+
     def chunk_term(poses, adapt, proj_c, obs):
-        return _both_sides_term(spec, consts, poses, adapt, proj_c, *obs)
+        return _both_sides_term(spec, consts, poses, adapt, proj_c,
+                                proj_c, *obs)
 
     def body(acc, args):
         loss_acc, gp_acc, ga_acc = acc
@@ -268,6 +335,7 @@ class BasePCOptimizer:
                  verbose=True,
                  obs_dtype=jnp.bfloat16,
                  edge_chunk=768,
+                 group_cap=None,
                  mesh=None,
                  **_ignored):
         self.verbose = verbose
@@ -285,6 +353,10 @@ class BasePCOptimizer:
         # (scripts/exp_align6_r3.py), and 600 edges measured ~8 GB peak -
         # hence the 768 default. Lower it for bigger-A or busier chips.
         self.edge_chunk = edge_chunk
+        # cap on edges per observation row (None = auto: uncapped for
+        # balanced graphs, 2*ceil(E/N) when grouping would pad >4x the
+        # edge count - e.g. oneref star graphs). See _group_layout.
+        self.group_cap = group_cap
         # multi-chip: shard the IMAGE axis of the grouped observations
         # over all devices of the mesh (SURVEY §5's TPU analogue of
         # "scale" = number of aligner edges). Each device owns its
@@ -354,26 +426,41 @@ class BasePCOptimizer:
         # observations are stored GROUPED BY IMAGE, coordinate-planar and
         # pre-chunked: (K, 3, nc, G, A). Grouping removes the per-edge
         # proj gathers from the loss entirely (the world points broadcast
-        # per image - see _grouped_term); planar keeps every loss-chain
-        # array A-minor. K = number of image chunks the loss scans; flat
-        # (K=1) up to ~edge_chunk edges, beyond that the smallest K whose
-        # chunks stay under edge_chunk edges (minimizes image padding).
+        # per image/row - see _grouped_term); planar keeps every
+        # loss-chain array A-minor. Balanced graphs (complete/swin:
+        # per-image count ~ E/N) store one row per image with near-zero
+        # padding. Unbalanced graphs (oneref stars: hub count ~ E) would
+        # pad every image to the hub's count - O(N*E*A), unrunnable - so
+        # oversized groups split into rows of at most g_cap edges, mapped
+        # back through row->image indices ("group_img_*" consts; the
+        # world points then ride a take instead of the 1:1 broadcast).
+        avg = -(-E // max(N, 1))
+        split = self.group_cap is not None or N * G_max > 4 * E
+        g_cap = (self.group_cap or min(G_max, max(1, 2 * avg))) \
+            if split else None
+        perm_i, valid_i, rimg_i = _group_layout(idx_i, N, g_cap)
+        perm_j, valid_j, rimg_j = _group_layout(idx_j, N, g_cap)
+        R = max(len(perm_i), len(perm_j))
+        G_sched = max(perm_i.shape[1], perm_j.shape[1])
+        # K = number of row chunks the loss scans; flat (K=1) up to
+        # ~edge_chunk edges, beyond that the smallest K whose chunks stay
+        # under edge_chunk edges (minimizes row padding).
         if self.edge_chunk and E > self.edge_chunk:
-            nc_max = max(1, self.edge_chunk // G_max)
-            K = -(-N // nc_max)
+            nc_max = max(1, self.edge_chunk // G_sched)
+            K = -(-R // nc_max)
         else:
             K = 1
         if self.mesh is not None:
             n_shard = int(np.prod(list(self.mesh.shape.values())))
             K = 1
-            nc = -(-N // n_shard) * n_shard  # image axis shards evenly
+            nc = -(-R // n_shard) * n_shard  # row axis shards evenly
         else:
-            nc = -(-N // K)
-        N_pad = K * nc
-        self._n_img_groups = (K, nc, G_max)
+            nc = -(-R // K)
+        R_pad = K * nc
+        self._n_img_groups = (K, nc, G_sched)
 
-        perm_i, valid_i = _group_layout(idx_i, N, N_pad)
-        perm_j, valid_j = _group_layout(idx_j, N, N_pad)
+        perm_i, valid_i, rimg_i = _pad_rows(perm_i, valid_i, rimg_i, R_pad)
+        perm_j, valid_j, rimg_j = _pad_rows(perm_j, valid_j, rimg_j, R_pad)
 
         def group_pred(rows, perm):
             arr = np.stack([_ravel_pad(r, A) for r in rows])  # (E, A, 3)
@@ -397,6 +484,11 @@ class BasePCOptimizer:
             "group_perm_i": jnp.asarray(perm_i.reshape(K, nc, -1)),
             "group_perm_j": jnp.asarray(perm_j.reshape(K, nc, -1)),
         }
+        if split:
+            # row -> image maps (only present when groups were split; the
+            # loss keys its layout branch on these)
+            self.consts["group_img_i"] = jnp.asarray(rimg_i.reshape(K, nc))
+            self.consts["group_img_j"] = jnp.asarray(rimg_j.reshape(K, nc))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             axes = tuple(self.mesh.axis_names)
@@ -411,6 +503,8 @@ class BasePCOptimizer:
                 "group_w_j": PartitionSpec(None, axes),
                 "group_perm_i": PartitionSpec(None, axes),
                 "group_perm_j": PartitionSpec(None, axes),
+                "group_img_i": PartitionSpec(None, axes),
+                "group_img_j": PartitionSpec(None, axes),
             }
             self.consts = {
                 k: jax.device_put(v, NamedSharding(self.mesh, specs[k]))

@@ -61,8 +61,11 @@ class ColorJitter:
                 # same fraction of a full turn torchvision applies.
                 import cv2
                 hsv = cv2.cvtColor(np.asarray(im), cv2.COLOR_RGB2HSV)
-                shift = np.uint8(int(round(h * 180)) % 180)
-                hsv[..., 0] = (hsv[..., 0] + shift) % 180
+                shift = int(round(h * 180)) % 180
+                # widen before adding: a uint8 sum wraps mod 256 BEFORE
+                # the mod-180, corrupting hues whenever hue + shift > 255
+                hue = (hsv[..., 0].astype(np.int16) + shift) % 180
+                hsv[..., 0] = hue.astype(np.uint8)
                 return PIL.Image.fromarray(
                     cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB))
             ops.append(shift_hue)

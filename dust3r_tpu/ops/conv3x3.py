@@ -35,15 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = bool(os.environ.get("DUST3R_TPU_PALLAS_INTERPRET"))
 
 
-def _use_pallas_default():
-    if os.environ.get("DUST3R_TPU_NO_PALLAS"):
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def conv3x3_ref(x, w, b=None):
     """Plain XLA conv (NHWC, HWIO), same padding, stride 1."""
     y = jax.lax.conv_general_dilated(

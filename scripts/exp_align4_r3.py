@@ -1,3 +1,10 @@
+# HISTORICAL MEASUREMENT RECORD - does not run at HEAD.
+# Measured against the pre-image-grouping aligner consts layout
+# (stacked_pred_i / onehot_i / weight_i, removed in commit 20e9396 when
+# observations moved to the grouped-by-image layout this script's
+# results motivated). Kept verbatim as the evidence record behind
+# docs/DESIGN.md's round-3 aligner numbers; to re-run, check out the
+# parent of 20e9396.
 """Round-3c: elementwise pose application in the aligner hot path.
 
 exp_align3_r3 located the n=25 cost: geotrf's einsum over the 3-wide

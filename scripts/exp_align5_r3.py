@@ -1,3 +1,10 @@
+# HISTORICAL MEASUREMENT RECORD - does not run at HEAD.
+# Measured against the pre-image-grouping aligner consts layout
+# (stacked_pred_i / onehot_i / weight_i, removed in commit 20e9396 when
+# observations moved to the grouped-by-image layout this script's
+# results motivated). Kept verbatim as the evidence record behind
+# docs/DESIGN.md's round-3 aligner numbers; to re-run, check out the
+# parent of 20e9396.
 """Round-3d: coordinate-planar observation layout for the aligner.
 
 exp_align4 showed elementwise-FMA pose application alone LOSES (99 vs

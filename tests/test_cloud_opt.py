@@ -8,7 +8,7 @@ from dust3r_tpu.utils.geometry import (xy_grid, geotrf, inv,
 
 
 def make_synthetic_scene(n_imgs=4, H=24, W=32, focal=40.0, seed=0,
-                         symmetrize=True):
+                         symmetrize=True, edges=None):
     """Fabricate perfectly consistent pairwise predictions from a known
     scene: per-image smooth depth + circular camera rig."""
     rng = np.random.default_rng(seed)
@@ -34,8 +34,10 @@ def make_synthetic_scene(n_imgs=4, H=24, W=32, focal=40.0, seed=0,
         wpts, _ = depthmap_to_absolute_camera_coordinates(depth, K, pose)
         world_pts.append(np.asarray(wpts))
 
-    edges = [(i, j) for i in range(n_imgs) for j in range(n_imgs) if i != j] \
-        if symmetrize else [(i, j) for i in range(n_imgs) for j in range(i)]
+    if edges is None:
+        edges = [(i, j) for i in range(n_imgs) for j in range(n_imgs)
+                 if i != j] if symmetrize \
+            else [(i, j) for i in range(n_imgs) for j in range(i)]
 
     pred1_pts, pred2_pts, conf1, conf2 = [], [], [], []
     for i, j in edges:
@@ -303,6 +305,80 @@ class TestEdgeChunking:
         assert angular_error_deg(gt_rel[:3, :3], est_rel[:3, :3]) < 3.0
 
 
+class TestSplitRowGroups:
+    """Unbalanced graphs (oneref stars) would pad the grouped observation
+    layout to O(N * G_max * A) - the hub image's group is ~E wide. Groups
+    larger than group_cap split into capped rows mapped back through
+    row->image indices; the math must be identical to the 1:1 layout."""
+
+    def test_forced_split_matches_legacy(self):
+        import jax
+        out, *_ = make_synthetic_scene(n_imgs=5)
+        ref = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False)
+        spl = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False, group_cap=2)
+        assert "group_img_i" not in ref.consts
+        assert "group_img_i" in spl.consts
+        params = dict(ref.params)
+        l_ref, g_ref = jax.value_and_grad(ref.loss_fn)(params,
+                                                       dict(ref.consts))
+        l_spl, g_spl = jax.value_and_grad(spl.loss_fn)(params,
+                                                       dict(spl.consts))
+        np.testing.assert_allclose(float(l_ref), float(l_spl), rtol=1e-6)
+        for k in g_ref:
+            np.testing.assert_allclose(np.asarray(g_ref[k]),
+                                       np.asarray(g_spl[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+    def test_forced_split_chunked_matches(self):
+        import jax
+        # group_cap=2 + tiny edge_chunk: the K>1 split scan path with the
+        # accumulated (not slice-stacked) world-point gradient
+        out, *_ = make_synthetic_scene(n_imgs=5)
+        ref = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False)
+        chk = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False, group_cap=2, edge_chunk=8)
+        assert chk._n_img_groups[0] > 1  # actually chunked
+        params = dict(ref.params)
+        l_ref, g_ref = jax.value_and_grad(ref.loss_fn)(params,
+                                                       dict(ref.consts))
+        l_chk, g_chk = jax.value_and_grad(chk.loss_fn)(params,
+                                                       dict(chk.consts))
+        np.testing.assert_allclose(float(l_ref), float(l_chk), rtol=1e-6)
+        for k in g_ref:
+            np.testing.assert_allclose(np.asarray(g_ref[k]),
+                                       np.asarray(g_chk[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+    def test_star_graph_autosplits_and_recovers(self):
+        # oneref star, symmetrized: hub 0 sits on every edge, so the 1:1
+        # grouped layout would pad every image's row to G = n-1
+        n = 9
+        edges = [(0, j) for j in range(1, n)] + \
+                [(j, 0) for j in range(1, n)]
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=n,
+                                                         edges=edges)
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False)
+        assert "group_img_i" in scene.consts  # auto-engaged
+        K, nc, G = scene._n_img_groups
+        E = len(edges)
+        # compact: padded slots bounded by ~2x the edges (plus row pads),
+        # NOT n * G_max = 72
+        assert K * nc * G <= 2 * E + 2 * G, (K, nc, G)
+        loss = scene.compute_global_alignment(init="mst", niter=150,
+                                              schedule="cosine", lr=0.01)
+        assert np.isfinite(loss)
+        focals = np.asarray(scene.get_focals()).reshape(-1)
+        np.testing.assert_allclose(focals, focal, rtol=0.05)
+        est = np.asarray(scene.get_im_poses())
+        gt_rel = relpose(poses[0], poses[1])
+        est_rel = relpose(est[0], est[1])
+        assert angular_error_deg(gt_rel[:3, :3], est_rel[:3, :3]) < 3.0
+
+
 class TestMeshShardedEdges:
     """Image-axis sharding of the grouped observations over a device
     mesh (SURVEY §5's TPU analogue of aligner scale): each device owns
@@ -346,6 +422,27 @@ class TestMeshShardedEdges:
         assert np.isfinite(loss)
         focals = np.asarray(scene.get_focals()).reshape(-1)
         np.testing.assert_allclose(focals, 40.0, rtol=0.05)
+
+    def test_sharded_split_rows_match(self):
+        import jax
+        # split-row layout (group_cap) under the mesh: rows shard, the
+        # world points replicate, XLA inserts the take/scatter psum
+        out, *_ = make_synthetic_scene(n_imgs=6)
+        ref = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False, edge_chunk=0)
+        shd = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False, group_cap=2, mesh=self._mesh())
+        assert "group_img_i" in shd.consts
+        params = dict(ref.params)
+        l_ref, g_ref = jax.value_and_grad(ref.loss_fn)(params,
+                                                       dict(ref.consts))
+        l_shd, g_shd = jax.value_and_grad(shd.loss_fn)(params,
+                                                       dict(shd.consts))
+        np.testing.assert_allclose(float(l_ref), float(l_shd), rtol=1e-6)
+        for k in g_ref:
+            np.testing.assert_allclose(np.asarray(g_ref[k]),
+                                       np.asarray(g_shd[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
 
 
 class TestCompileSharing:

@@ -150,6 +150,30 @@ class TestBaseStereoViewDataset:
             assert v["img"].dtype == np.float32
             assert v["img"].min() >= -1.001 and v["img"].max() <= 1.001
 
+    def test_negative_hue_shift_wraps_mod_180(self):
+        # regression: the cv2 hue shift must widen before adding - a
+        # uint8 sum wraps mod 256 BEFORE the mod-180, mis-coloring any
+        # pixel whose hue + shift exceeds 255 (i.e. every negative draw)
+        import cv2
+        from dust3r_tpu.datasets.utils.transforms import ColorJitter
+
+        class NegHue:  # deterministic rng: always draws the lower bound
+            def uniform(self, lo, hi):
+                return lo
+
+            def permutation(self, n):
+                return np.arange(n)
+
+        base_hue = 100
+        hsv = np.full((8, 8, 3), (base_hue, 200, 200), np.uint8)
+        img = PIL.Image.fromarray(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB))
+        jit = ColorJitter(brightness=0, contrast=0, saturation=0, hue=0.1,
+                          rng=NegHue())
+        out = cv2.cvtColor(np.asarray(jit(img)), cv2.COLOR_RGB2HSV)
+        expect = (base_hue + ((-18) % 180)) % 180  # h=-0.1 -> -18 deg/180
+        assert abs(int(out[0, 0, 0]) - expect) <= 1, \
+            (int(out[0, 0, 0]), expect)
+
     def test_pts3d_consistency(self):
         ds = SyntheticViews(n=2, resolution=(64, 48), seed=3)
         v = ds[0][0]
