@@ -44,7 +44,9 @@ spec = TrainSpec(lr=1e-4,
                  epochs=10,
                  clip_grad=float(os.environ.get("CLIP", "0")))
 state = init_train_state(params, spec)
-step = build_train_step(model, criterion, spec)
+SYM = os.environ.get("SYM", "1") == "1"
+print(f"symmetrized={SYM}", flush=True)
+step = build_train_step(model, criterion, spec, symmetrized=SYM)
 
 t0=time.perf_counter()
 state, metrics = step(state, batch, jnp.asarray(0.0))
