@@ -40,13 +40,27 @@ class InferenceEngine:
     converter)
     """
 
-    def __init__(self, model, params, batch_size=8, mesh=None):
+    def __init__(self, model, params, batch_size=8, mesh=None,
+                 quantize=None):
         """mesh: optional jax.sharding.Mesh - data-parallel pair fan-out
         (SURVEY §5: sharding the PAIR axis across devices for inference).
         Params and stacked encoder features are replicated; each batch of
         pairs is split over all mesh devices through encoder, decoder and
         heads - XLA emits the (trivial) collectives. batch_size must be a
-        multiple of the device count."""
+        multiple of the device count.
+
+        quantize: None or 'int8' - converts the transformer gemms to the
+        int8 serving mode (ops/quant.py) at construction. Skipped if the
+        params are already quantized (int8 leaves present)."""
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unsupported quantize mode {quantize!r}")
+            already = any(v.dtype == jnp.int8 for v in jax.tree.leaves(params))
+            if not already:
+                from .ops.quant import quantize_for_inference
+                model, params = quantize_for_inference(model, params)
+            elif not model.quant:
+                model = model.clone(quant=True)
         self.model = model
         self.mesh = mesh
         if mesh is not None:

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 
 from ..ops.attention import attention
+from ..ops.quant import make_dense
 
 
 def gelu_exact(x):
@@ -60,12 +61,13 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # int8 gemms (inference only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = make_dense(self.hidden_dim, self.dtype, self.quant, "fc1")(x)
         x = gelu(x)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = make_dense(self.out_dim, self.dtype, self.quant, "fc2")(x)
         return x
 
 
@@ -75,20 +77,21 @@ class SelfAttention(nn.Module):
     rope_base: Optional[float] = 100.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None  # None=auto, 'ref', 'pallas'
+    quant: bool = False  # int8 gemms (inference only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x, pos):
         B, N, C = x.shape
         h = self.num_heads
         d = C // h
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = make_dense(3 * C, self.dtype, self.quant, "qkv")(x)
         qkv = qkv.reshape(B, N, 3, h, d).transpose(2, 0, 3, 1, 4)  # (3, B, h, N, d)
         q, k, v = qkv[0], qkv[1], qkv[2]
         pos_r = pos if self.rope_base is not None else None
         out = attention(q, k, v, pos_r, pos_r, self.rope_base or 0.0,
                         impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return make_dense(C, self.dtype, self.quant, "proj")(out)
 
 
 class CrossAttention(nn.Module):
@@ -97,6 +100,7 @@ class CrossAttention(nn.Module):
     rope_base: Optional[float] = 100.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    quant: bool = False  # int8 gemms (inference only; ops/quant.py)
 
     @nn.compact
     def __call__(self, query, key, value, qpos, kpos):
@@ -104,9 +108,9 @@ class CrossAttention(nn.Module):
         Nk = key.shape[1]
         h = self.num_heads
         d = C // h
-        q = nn.Dense(C, dtype=self.dtype, name="projq")(query)
-        k = nn.Dense(C, dtype=self.dtype, name="projk")(key)
-        v = nn.Dense(C, dtype=self.dtype, name="projv")(value)
+        q = make_dense(C, self.dtype, self.quant, "projq")(query)
+        k = make_dense(C, self.dtype, self.quant, "projk")(key)
+        v = make_dense(C, self.dtype, self.quant, "projv")(value)
         q = q.reshape(B, Nq, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, Nk, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, Nk, h, d).transpose(0, 2, 1, 3)
@@ -115,7 +119,7 @@ class CrossAttention(nn.Module):
         else:
             out = attention(q, k, v, None, None, 0.0, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return make_dense(C, self.dtype, self.quant, "proj")(out)
 
 
 class Block(nn.Module):
@@ -126,14 +130,16 @@ class Block(nn.Module):
     rope_base: Optional[float] = 100.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    quant: bool = False  # int8 gemms (inference only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x, pos):
         x = x + SelfAttention(self.dim, self.num_heads, self.rope_base,
-                              self.dtype, self.attn_impl, name="attn")(
+                              self.dtype, self.attn_impl, self.quant,
+                              name="attn")(
             LayerNormF32(name="norm1")(x), pos)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-                    name="mlp")(LayerNormF32(name="norm2")(x))
+                    self.quant, name="mlp")(LayerNormF32(name="norm2")(x))
         return x
 
 
@@ -150,18 +156,21 @@ class DecoderBlock(nn.Module):
     rope_base: Optional[float] = 100.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    quant: bool = False  # int8 gemms (inference only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x, y, xpos, ypos):
         x = x + SelfAttention(self.dim, self.num_heads, self.rope_base,
-                              self.dtype, self.attn_impl, name="attn")(
+                              self.dtype, self.attn_impl, self.quant,
+                              name="attn")(
             LayerNormF32(name="norm1")(x), xpos)
         y_ = LayerNormF32(name="norm_y")(y)
         x = x + CrossAttention(self.dim, self.num_heads, self.rope_base,
-                               self.dtype, self.attn_impl, name="cross_attn")(
+                               self.dtype, self.attn_impl, self.quant,
+                               name="cross_attn")(
             LayerNormF32(name="norm2")(x), y_, y_, xpos, ypos)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-                    name="mlp")(LayerNormF32(name="norm3")(x))
+                    self.quant, name="mlp")(LayerNormF32(name="norm3")(x))
         return x, y
 
 

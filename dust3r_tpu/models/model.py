@@ -37,12 +37,13 @@ class _EncScanBody(nn.Module):
     rope_base: Optional[float]
     dtype: jnp.dtype
     attn_impl: Optional[str]
+    quant: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         x, pos = carry
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.rope_base,
-                  self.dtype, self.attn_impl, name="block")(x, pos)
+                  self.dtype, self.attn_impl, self.quant, name="block")(x, pos)
         return (x, pos), None
 
 
@@ -55,12 +56,13 @@ class _DecScanBody(nn.Module):
     rope_base: Optional[float]
     dtype: jnp.dtype
     attn_impl: Optional[str]
+    quant: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         x1, x2, pos1, pos2 = carry
         args = (self.dim, self.num_heads, self.mlp_ratio, self.rope_base,
-                self.dtype, self.attn_impl)
+                self.dtype, self.attn_impl, self.quant)
         nx1, _ = DecoderBlock(*args, name="block1")(x1, x2, pos1, pos2)
         nx2, _ = DecoderBlock(*args, name="block2")(x2, x1, pos2, pos1)
         return (nx1, nx2, pos1, pos2), (nx1, nx2)
@@ -93,6 +95,9 @@ class AsymmetricCroCo3DStereo(nn.Module):
     remat: bool = False  # rematerialize block activations in the backward
     # pass (jax.checkpoint): trades ~30% more FLOPs for O(depth) less
     # activation memory - needed for large-batch training on 16GB HBM
+    quant: bool = False  # int8 transformer gemms (INFERENCE ONLY): use
+    # ops/quant.quantize_for_inference(model, params) to build the pair;
+    # heads/attention cores/LNs stay at the parity precision policy
 
     @classmethod
     def from_pretrained(cls, name_or_path, **overrides):
@@ -114,9 +119,9 @@ class AsymmetricCroCo3DStereo(nn.Module):
         self.patch_embed = PatchEmbed(self.patch_size, self.enc_embed_dim,
                                       self.dtype, name="patch_embed")
         enc_args = (self.enc_embed_dim, self.enc_num_heads, self.mlp_ratio,
-                    self.rope_base, self.dtype, self.attn_impl)
+                    self.rope_base, self.dtype, self.attn_impl, self.quant)
         dec_args = (self.dec_embed_dim, self.dec_num_heads, self.mlp_ratio,
-                    self.rope_base, self.dtype, self.attn_impl)
+                    self.rope_base, self.dtype, self.attn_impl, self.quant)
         if self.scan_layers:
             enc_body = nn.remat(_EncScanBody) if self.remat else _EncScanBody
             dec_body = nn.remat(_DecScanBody) if self.remat else _DecScanBody
@@ -141,8 +146,9 @@ class AsymmetricCroCo3DStereo(nn.Module):
                 DecCls(*dec_args, name=f"dec_blocks2_{i}")
                 for i in range(self.dec_depth)]
         self.enc_norm = LayerNormF32(name="enc_norm")
-        self.decoder_embed = nn.Dense(self.dec_embed_dim, dtype=self.dtype,
-                                      name="decoder_embed")
+        from ..ops.quant import make_dense
+        self.decoder_embed = make_dense(self.dec_embed_dim, self.dtype,
+                                        self.quant, "decoder_embed")
         self.dec_norm = LayerNormF32(name="dec_norm")
         has_conf = bool(self.conf_mode)
         self.downstream_head1 = head_factory(
