@@ -17,7 +17,18 @@ So the quantized mode covers exactly the gemm-bound part of the forward:
 Scheme: symmetric int8, per-OUTPUT-CHANNEL weight scales (computed once at
 load by `quantize_for_inference`), per-TOKEN dynamic activation scales
 (computed in-graph — one abs-max pass the VPU overlaps with the MXU).
-Accumulation is int32 (`preferred_element_type`), rescaled in fp32.
+The quantization pass runs in the activation's own dtype (bf16 in the
+production path): the scale math lives on the tiny (tokens, 1) abs-max
+tensor in fp32, but the big tensor is never upcast — measured on the v5e
+at the encoder fc1 shape (scripts/exp_quant2_r3.py): bf16 Dense 0.568 ms,
+fp32-math qdense 0.501, own-dtype qdense 0.446 (1.27x) — the fp32 upcast
+of x was most of the gap between the first-cut mode's 0.97x full-model
+result and the int8 gemm's headroom. The scale targets ±126 (not 127) so
+the bf16 rounding of x·inv can never push past ±127.5 (a clip guards the
+edge); a power-of-2-scale variant (exact bf16 multiply, no clip) measured
+the same speed but costs up to 1 extra bit of noise and failed the conf
+accuracy contract. Accumulation is int32 (`preferred_element_type`),
+rescaled in fp32.
 
 This is an INFERENCE mode: `jnp.round` has zero gradient, so a quantized
 model must not be trained (no straight-through estimator on purpose).
@@ -53,15 +64,21 @@ class QuantDense(nn.Module):
                         (self.features,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        # per-token symmetric scale; 1e-12 floor guards all-zero tokens
-        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
-                         1e-12) * (1.0 / 127.0)
-        xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
+        # per-token symmetric scale targeting ±126: the 1-level margin
+        # absorbs the bf16 rounding of inv and of x·inv, so the clip only
+        # ever trims the last representable step. Scale math stays fp32 on
+        # the tiny (tokens, 1) tensor; the BIG tensor is multiplied in its
+        # own dtype (no fp32 upcast — that upcast was the measured cost).
+        # 1e-12 floor guards all-zero tokens.
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        inv = 126.0 / jnp.maximum(amax.astype(jnp.float32), 1e-12)
+        inv_r = inv.astype(x.dtype)  # rounded once; dequant inverts THIS
+        xq = jnp.clip(jnp.round(x * inv_r), -127, 127).astype(jnp.int8)
         acc = jax.lax.dot_general(
             xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * sx * sw + b
+        y = (acc.astype(jnp.float32) * (1.0 / inv_r.astype(jnp.float32))
+             * sw + b)
         return y.astype(self.dtype)
 
 
