@@ -54,7 +54,8 @@ def _bench_params(model, H, W):
     return params
 
 
-def bench_pairs_per_sec(batch_size=8, H=384, W=512, iters=20, warmup=3):
+def bench_pairs_per_sec(batch_size=8, H=384, W=512, iters=20, warmup=3,
+                        quantize=False):
     import jax
     import jax.numpy as jnp
     from dust3r_tpu.models.model import dust3r_512_dpt
@@ -65,6 +66,11 @@ def bench_pairs_per_sec(batch_size=8, H=384, W=512, iters=20, warmup=3):
     imgs = [jax.random.normal(jax.random.PRNGKey(i), (batch_size, H, W, 3),
                               jnp.float32) for i in range(4)]
     params = _bench_params(model, H, W)
+    if quantize:  # int8 serving mode (ops/quant.py; beyond-parity)
+        from dust3r_tpu.ops.quant import quantize_for_inference
+
+        model, params = quantize_for_inference(model, params)
+        _ = float(jnp.sum(params["params"]["enc_norm"]["ln"]["scale"]))
 
     @jax.jit
     def fwd(params, img1, img2):
@@ -189,7 +195,8 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
     return res
 
 
-def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8):
+def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8,
+                      quantize=None):
     """Pairs/sec through the encoder-caching engine on a complete
     symmetrized scene graph (the aligner/demo workload).
 
@@ -220,7 +227,8 @@ def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8):
              for i in range(n_imgs)]
     probe = views[0]["img"]
     params = init_bf16(jax.random.PRNGKey(0), probe, probe)
-    engine = InferenceEngine(model, params, batch_size=batch_size)
+    engine = InferenceEngine(model, params, batch_size=batch_size,
+                             quantize=quantize)
 
     pairs = make_pairs(views, "complete", symmetrize=True)
     log(f"scene graph: {n_imgs} images, {len(pairs)} pairs; warmup ...")
@@ -275,6 +283,12 @@ def main():
             bench_scene_graph(batch_size=16), 2)
     except Exception as e:
         log(f"scene-graph bench failed: {type(e).__name__}: {e}")
+    try:
+        # same demo workload through the int8 serving mode (ops/quant.py)
+        extras["scene_graph_pairs_per_sec_int8"] = round(
+            bench_scene_graph(batch_size=16, quantize="int8"), 2)
+    except Exception as e:
+        log(f"scene-graph int8 bench failed: {type(e).__name__}: {e}")
     value = None
     good_bs = None
     for bs in (8, 4, 2, 1):
@@ -288,6 +302,14 @@ def main():
     # README.md:102 / visloc utils.py:23); params shared via _bench_params.
     # Reuse the batch size that worked for the headline - retrying a
     # failed bs costs a full remote compile per bucket.
+    if value is not None:
+        try:
+            # int8 serving mode at the headline shape (measured 1.12x the
+            # bf16 path; accuracy contract in tests/test_quant.py)
+            extras["pairs_per_sec_512dpt_int8"] = round(
+                bench_pairs_per_sec(batch_size=good_bs, quantize=True), 2)
+        except Exception as e:
+            log(f"int8 bench failed: {type(e).__name__}: {e}")
     if value is not None:
         from dust3r_tpu.utils.flops import mfu_pct, pair_forward_flops
 

@@ -27,7 +27,7 @@ def main():
     if mesh is not None:
         print(f"data-parallel inference over {batch_size} devices")
     engine = InferenceEngine(model, variables, batch_size=batch_size,
-                             mesh=mesh)
+                             mesh=mesh, quantize=args.quantize)
 
     with tempfile.TemporaryDirectory(suffix="dust3r_gradio_demo") as tmp:
         if not args.silent:

@@ -46,6 +46,10 @@ def get_args_parser():
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard each inference batch and the aligner "
                              "edges over this many devices (0 = off)")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="int8 serving mode: transformer gemms on int8 "
+                             "MXU operands (ops/quant.py; ~1.12x forward)")
     parser.add_argument("--tmp_dir", type=str, default=None)
     parser.add_argument("--silent", action="store_true", default=False)
     return parser

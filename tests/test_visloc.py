@@ -268,6 +268,9 @@ class TestVislocMain:
                 "--weights", str(ckpt),
                 "--confidence_threshold", "1.0",
                 "--viz_matches", "10",
+                # also plumbs the int8 serving mode through the CLI ->
+                # engine -> quantized model path (ops/quant.py)
+                "--quantize", "int8",
                 "--output_dir", str(out_dir)])
         finally:
             del visloc_mod.SyntheticVislocDataset

@@ -43,6 +43,10 @@ def get_args_parser():
                                default=None)
     parser.add_argument("--pnp_max_points", type=int, default=100_000)
     parser.add_argument("--viz_matches", type=int, default=0)
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="int8 serving mode: transformer gemms on int8 "
+                             "MXU operands (ops/quant.py; ~1.12x forward)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard inference batches over this many "
                              "devices (0 = off)")
@@ -149,7 +153,7 @@ def main(argv=None):
     from dust3r_tpu.parallel.mesh import cli_pair_mesh
     mesh, batch_size = cli_pair_mesh(args.mesh)
     engine = InferenceEngine(model, variables, batch_size=batch_size,
-                             mesh=mesh)
+                             mesh=mesh, quantize=args.quantize)
 
     dataset = eval(args.dataset)  # noqa: S307 - same CLI DSL as reference
     dataset.set_resolution(model)
