@@ -158,18 +158,80 @@ def _interp_matrix(n_in, n_out, dtype=jnp.float32):
     return jnp.asarray(m, dtype)
 
 
-def upsample2x_align_corners(x):
+def _up2x_axis_lerp(x, axis):
+    """2x align-corners upsample along `axis` via the even/odd closed
+    form — shifts + fused lerps, no gathers and no matmul FLOPs.
+
+    For n_out = 2n, src(o) = o*(n-1)/(2n-1) gives floor indices
+    lo(2k) = k-1 (k>=1) and lo(2k+1) = k, so
+      out[2k]   = (k/(2n-1))        * x[k-1] + (1 - k/(2n-1))  * x[k]
+      out[2k+1] = (1 - w_k) * x[k] + w_k * x[k+1],  w_k = (n-1-k)/(2n-1)
+    Boundary terms carry zero weight, so clamped shifts are exact.
+    """
+    n = x.shape[axis]
+    dt = x.dtype
+    shape = [1, 1, 1, 1]
+    shape[axis] = n
+    k = np.arange(n, dtype=np.float64)
+    we = jnp.asarray((k / (2 * n - 1)).reshape(shape), jnp.float32)
+    wo = jnp.asarray(((n - 1 - k) / (2 * n - 1)).reshape(shape), jnp.float32)
+
+    def shift(src, d):  # clamped shift by d along axis (d in {-1, +1})
+        pad = [(0, 0)] * 4
+        pad[axis] = (max(d, 0), max(-d, 0))
+        padded = jnp.pad(src, pad, mode="edge")
+        lo = [0] * 4
+        hi = list(padded.shape)
+        if d > 0:
+            hi[axis] -= d
+        else:
+            lo[axis] -= d
+        return jax.lax.slice(padded, lo, hi)
+
+    even = (we * shift(x, 1) + (1.0 - we) * x).astype(dt)
+    odd = ((1.0 - wo) * x + wo * shift(x, -1)).astype(dt)
+    out = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return out.reshape(new_shape)
+
+
+# process-wide upsample impl: 'matmul' (dense interp matmuls on the MXU)
+# or 'lerp' (shift-based closed form, O(HWC) real FLOPs). Overridable via
+# env DUST3R_TPU_UPSAMPLE or set_upsample_impl for measurement.
+import os as _os
+
+_UPSAMPLE_IMPL = _os.environ.get("DUST3R_TPU_UPSAMPLE") or None
+
+
+def set_upsample_impl(impl):
+    """Override the process-wide upsample impl ('matmul'|'lerp', or None
+    for auto). Affects subsequently TRACED programs only."""
+    global _UPSAMPLE_IMPL
+    assert impl in ("matmul", "lerp", None)
+    _UPSAMPLE_IMPL = impl
+
+
+def upsample2x_align_corners(x, impl=None):
     """NHWC bilinear 2x upsample with align_corners=True (torch parity).
 
-    Implemented as two dense interpolation matmuls. The matrices are ~all
-    zeros, but on the MXU these run near peak and measure FASTER than the
-    O(n) gather+lerp formulation (TPU gathers along spatial axes are slow);
-    measured end-to-end: matmul 162 ms/iter vs gather 192 ms/iter on the
-    512x384 DPT pair forward. Under the fast conv impl (ops/conv3x3
-    default != 'ref') the dots run on bf16 inputs with fp32 accumulation -
-    the same numeric class as the surrounding convs.
+    Two impls, same semantics (equality pinned by tests/test_torch_parity
+    and test_heads):
+
+      * 'lerp': even/odd shift+lerp closed form — the real-FLOP
+        formulation (O(HWC)). Unlike the round-2 "lerp-based upsamplers"
+        dead end this form has NO gathers — outputs are interleaved lerps
+        of clamped shifts.
+      * 'matmul' (default): two dense interpolation matmuls on the MXU
+        (2H*H*(WC) MACs for an O(HWC) op). Under the fast conv impl the
+        dots run bf16 inputs + fp32 accumulation.
     """
     from ..ops import conv3x3 as convmod
+
+    if impl is None:
+        impl = _UPSAMPLE_IMPL or "matmul"
+    if impl == "lerp":
+        return _up2x_axis_lerp(_up2x_axis_lerp(x, 1), 2)
 
     B, H, W, C = x.shape
     dt = x.dtype
