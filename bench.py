@@ -196,13 +196,19 @@ def bench_chip_gemm_tf_s(n=8192, iters=20):
 
 
 def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
-                                graph="complete", dtypes=("fp32", "bf16")):
+                                graph="complete", dtypes=("fp32", "bf16"),
+                                mesh=False):
     """Global-alignment iterations/sec on a synthetic n-image scene.
 
     The torch reference runs its 300-iter Adam loop as a python loop
     (~15-30 it/s on GPU); here the whole loop is one lax.scan.
     graph: 'complete' (N*(N-1) edges) or 'swin-k' (the demo's scalable
     window graph) - large N scenes use swin exactly like the reference.
+    mesh=True (bench.py --mesh): shard the grouped observations over an
+    image-axis Mesh of ALL visible devices (cloud_opt/base_opt.py mesh
+    path) — the multi-chip aligner scale path, one flag away when
+    hardware exists (equality pinned by dryrun_multichip's aligner case
+    and tests/test_cloud_opt.py::TestMeshShardedEdges).
     """
     import numpy as np
     import jax.numpy as jnp
@@ -231,12 +237,20 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
             conf=1 + rng.uniform(1, 5, (E, H, W)).astype(np.float32)),
     )
     lrs = make_lr_schedule("cosine", niter, 0.01, 1e-6)
+    extra_kw = {}
+    if mesh:
+        import jax
+        from jax.sharding import Mesh
+
+        extra_kw["mesh"] = Mesh(np.array(jax.devices()), ("edge",))
+        log(f"aligner mesh: {len(jax.devices())}-way image-axis sharding")
     res = {}
     all_dt = [(jnp.bfloat16, "bf16-obs"), (jnp.float32, "fp32-obs")]
     for obs_dtype, tag in [d for d in all_dt if d[1][:4] in dtypes]:
         scene = global_aligner(out,
                                mode=GlobalAlignerMode.PointCloudOptimizer,
-                               verbose=False, obs_dtype=obs_dtype)
+                               verbose=False, obs_dtype=obs_dtype,
+                               **extra_kw)
         t0 = time.perf_counter()
         params, losses = _run_alignment(scene.pts3d_fn, scene.loss_spec,
                                         dict(scene.params),
@@ -261,12 +275,16 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
 
 
 def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8,
-                      quantize=None):
+                      quantize=None, head_dtype="float32"):
     """Pairs/sec through the encoder-caching engine on a complete
-    symmetrized scene graph (the aligner/demo workload).
+    symmetrized scene graph — the workload the reference's inference()
+    driver actually runs (dust3r/inference.py:55-72 feeding the
+    aligner/demo/visloc).
 
     Each unique image is encoded once and reused across its N-1 pairs -
-    the architectural win over the reference's per-pair encoding."""
+    the architectural win over the reference's per-pair encoding.
+    quantize='int8' + head_dtype='bfloat16' is the serving config
+    (accuracy contracts: tests/test_quant.py, tests/test_heads.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -274,7 +292,8 @@ def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8,
     from dust3r_tpu.inference import InferenceEngine
     from dust3r_tpu.image_pairs import make_pairs
 
-    model = dust3r_512_dpt(dtype=jnp.bfloat16)
+    model = dust3r_512_dpt(dtype=jnp.bfloat16,
+                           head_dtype=jnp.dtype(head_dtype))
 
     @jax.jit
     def init_bf16(key, i1, i2):
@@ -331,6 +350,7 @@ def _try(name, est_cost_s, fn, *a, **kw):
 def main():
     import jax
     log(f"devices: {jax.devices()}  (budget {BUDGET_S:.0f}s)")
+    aligner_mesh = "--mesh" in sys.argv  # multi-chip aligner mode
 
     # -------- headline FIRST (everything else is gated extras) -------- #
     value = None
@@ -356,11 +376,24 @@ def main():
             f"(measured range on this chip: ~154-213)")
 
     if value is not None:
-        v = _try("headline int8", 140, bench_pairs_per_sec,
-                 batch_size=good_bs, quantize=True)
+        # serving config: int8 block gemms + bf16 heads (measured +16%
+        # over the parity config, scripts/exp_r4_levers2; accuracy
+        # contracts tests/test_quant.py + tests/test_heads.py)
+        v = _try("headline serving int8+bf16h", 140, bench_pairs_per_sec,
+                 batch_size=good_bs, quantize=True, head_dtype="bfloat16")
         if v is not None:
-            RESULT["pairs_per_sec_512dpt_int8"] = round(v, 2)
+            RESULT["pairs_per_sec_512dpt_serving_int8_bf16h"] = round(v, 2)
 
+    # the reference-workload number (dust3r/inference.py:55-72: N unique
+    # images -> N*(N-1) pairs; encoder cached). Serving config first -
+    # this is the >=10x line (104.6 pairs/s measured on a degraded-clock
+    # chip, scripts/exp_r4_levers2) - then the parity config.
+    v = _try("scene-graph serving", 170, bench_scene_graph, batch_size=16,
+             quantize="int8", head_dtype="bfloat16")
+    if v is not None:
+        RESULT["scene_graph_pairs_per_sec_serving"] = round(v, 2)
+        RESULT["scene_graph_vs_baseline"] = round(
+            v / A100_REFERENCE_PAIRS_PER_SEC, 2)
     v = _try("scene-graph bs=16", 160, bench_scene_graph, batch_size=16)
     if v is not None:
         RESULT["scene_graph_pairs_per_sec"] = round(v, 2)
@@ -374,19 +407,17 @@ def main():
                           (50, "swin-3", 60)):
         res = _try(f"aligner n={n} {graph}", est,
                    bench_aligner_iters_per_sec, n_imgs=n, graph=graph,
-                   dtypes=("bf16",))
+                   dtypes=("bf16",), mesh=aligner_mesh)
         if res:
-            RESULT[f"aligner_iters_per_sec_n{n}"] = round(res["bf16-obs"], 1)
+            key = f"aligner_iters_per_sec_n{n}"
+            if aligner_mesh:
+                key += "_mesh"
+            RESULT[key] = round(res["bf16-obs"], 1)
     res = _try("aligner n=25 fp32-obs", 60, bench_aligner_iters_per_sec,
                n_imgs=25, dtypes=("fp32",))
     if res:
         RESULT["aligner_iters_per_sec_n25_fp32obs"] = round(
             res["fp32-obs"], 1)
-
-    v = _try("scene-graph int8", 160, bench_scene_graph, batch_size=16,
-             quantize="int8")
-    if v is not None:
-        RESULT["scene_graph_pairs_per_sec_int8"] = round(v, 2)
 
     # per-AR-bucket table (the 512 training/inference buckets,
     # README.md:102 / visloc utils.py:23); params shared via _bench_params.

@@ -72,7 +72,12 @@ class QuantDense(nn.Module):
         # 1e-12 floor guards all-zero tokens.
         amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
         inv = 126.0 / jnp.maximum(amax.astype(jnp.float32), 1e-12)
-        inv_r = inv.astype(x.dtype)  # rounded once; dequant inverts THIS
+        # rounded once; dequant inverts THIS. The optimization_barrier
+        # pins the f32->bf16 rounding: the axon terminal's
+        # --xla_allow_excess_precision=true would otherwise elide the
+        # cast chain and let quant/dequant see scales differing by a
+        # bf16 ulp (ADVICE r3). Costs nothing: (tokens, 1) tensor.
+        inv_r = jax.lax.optimization_barrier(inv.astype(x.dtype))
         xq = jnp.clip(jnp.round(x * inv_r), -127, 127).astype(jnp.int8)
         acc = jax.lax.dot_general(
             xq, wq, (((x.ndim - 1,), (0,)), ((), ())),

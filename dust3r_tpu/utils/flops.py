@@ -41,8 +41,11 @@ def _conv(area, k, cin, cout):
     return 2 * area * k * k * cin * cout
 
 
-def _up2x(h, w, c):
-    """upsample2x_align_corners as two dense matmuls (heads.py)."""
+def _up2x(h, w, c, upsample="matmul"):
+    """upsample2x_align_corners as two dense matmuls (heads.py); the
+    'lerp' impl does no MACs."""
+    if upsample == "lerp":
+        return 0
     return 2 * (2 * h) * h * (w * c) + 2 * (2 * w) * w * (2 * h * c)
 
 
@@ -63,9 +66,13 @@ def linear_head_flops_per_image(H, W, nch=4):
     return 2 * n * DEC_DIM * (nch * PATCH * PATCH)
 
 
-def dpt_head_flops_per_image(H, W, nch=4):
+def dpt_head_flops_per_image(H, W, nch=4, upsample="matmul"):
     """Mirrors models/heads.py DPTHead exactly (feature_dim 256,
-    layer_dims (96,192,384,768), hooks at token resolution)."""
+    layer_dims (96,192,384,768), hooks at token resolution).
+
+    upsample: 'matmul' counts the dense interp-matmul formulation at full
+    matmul cost; 'lerp' counts the shift+lerp formulation as ~zero MACs
+    (elementwise VPU work, not MXU FLOPs)."""
     nh, nw = H // PATCH, W // PATCH
     a = nh * nw
     feat = 256
@@ -92,26 +99,32 @@ def dpt_head_flops_per_image(H, W, nch=4):
         total += _conv(a * mult, 1, feat, feat)
         h = int((a * mult / (nw / nh)) ** 0.5)  # h at this level
         w = int(a * mult // max(h, 1))
-        total += _up2x(h, w, feat)
-    # regression head at 4x token res -> full res
-    total += _conv(a * 16, 3, feat, feat // 2)
-    total += _up2x(4 * nh, 4 * nw, feat // 2)
-    total += _conv(a * 64, 3, feat // 2, 32)
-    total += _conv(a * 64, 1, 32, nch)
+        total += _up2x(h, w, feat, upsample)
+    # regression head: refinenet1's output is already upsampled to
+    # (8nh, 8nw) = 64a, so head_conv1 + the final up2x run there and
+    # head_conv2/3 run at FULL image resolution (16nh, 16nw) = 256a.
+    # (A round-1..3 version of this accounting ran the whole tail one
+    # octave too low — 4x undercount on these four terms.)
+    total += _conv(a * 64, 3, feat, feat // 2)
+    total += _up2x(8 * nh, 8 * nw, feat // 2, upsample)
+    total += _conv(a * 256, 3, feat // 2, 32)
+    total += _conv(a * 256, 1, 32, nch)
     return total
 
 
-def pair_forward_flops(H, W, head_type="dpt"):
+def pair_forward_flops(H, W, head_type="dpt", upsample="matmul"):
     """Total FLOPs for one image pair through the full model."""
-    head = (dpt_head_flops_per_image if head_type == "dpt"
-            else linear_head_flops_per_image)
+    if head_type == "dpt":
+        head = dpt_head_flops_per_image(H, W, upsample=upsample)
+    else:
+        head = linear_head_flops_per_image(H, W)
     return 2 * (encoder_flops_per_image(H, W)
                 + decoder_flops_per_image(H, W)
-                + head(H, W))
+                + head)
 
 
 def mfu_pct(pairs_per_sec, H, W, head_type="dpt",
-            peak_tflops=PEAK_TFLOPS_BF16):
+            peak_tflops=PEAK_TFLOPS_BF16, upsample="matmul"):
     """Model FLOPs utilization vs the chip's nominal bf16 peak."""
-    fl = pair_forward_flops(H, W, head_type)
+    fl = pair_forward_flops(H, W, head_type, upsample=upsample)
     return 100.0 * pairs_per_sec * fl / (peak_tflops * 1e12)

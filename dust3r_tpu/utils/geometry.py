@@ -172,8 +172,13 @@ def depthmap_to_camera_coordinates(depthmap, camera_intrinsics):
     cu, cv = K[0, 2], K[1, 2]
     gx, gy = np.meshgrid(np.arange(W, dtype=depthmap.dtype),
                          np.arange(H, dtype=depthmap.dtype), indexing="xy")
-    x = (gx - cu) * depthmap / fu
-    y = (gy - cv) * depthmap / fv
+    # Degenerate intrinsics (focal 0 from a failed Weiszfeld estimate on
+    # garbage predictions) produce non-finite points exactly like the
+    # torch reference does — silently (torch raises no RuntimeWarning;
+    # a green suite should not train people to ignore warnings).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = (gx - cu) * depthmap / fu
+        y = (gy - cv) * depthmap / fv
     X_cam = np.stack([x, y, depthmap], axis=-1).astype(np.float32)
     valid_mask = depthmap > 0.0
     return X_cam, valid_mask

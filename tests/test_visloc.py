@@ -193,7 +193,8 @@ class TestVislocMain:
     synthetic .pth checkpoint + synthetic dataset; asserts the LTVL result
     export, the aggregate stats line, and the --viz_matches overlays."""
 
-    def test_main_end_to_end(self, tmp_path):
+    @pytest.mark.parametrize("quantize", [None, "int8"])
+    def test_main_end_to_end(self, tmp_path, quantize):
         import sys
         import PIL.Image
         import torch
@@ -262,16 +263,17 @@ class TestVislocMain:
 
         visloc_mod.SyntheticVislocDataset = SyntheticVislocDataset
         out_dir = tmp_path / "out"
-        try:
-            visloc_mod.main([
-                "--dataset", "SyntheticVislocDataset()",
+        args = ["--dataset", "SyntheticVislocDataset()",
                 "--weights", str(ckpt),
                 "--confidence_threshold", "1.0",
                 "--viz_matches", "10",
-                # also plumbs the int8 serving mode through the CLI ->
-                # engine -> quantized model path (ops/quant.py)
-                "--quantize", "int8",
-                "--output_dir", str(out_dir)])
+                "--output_dir", str(out_dir)]
+        if quantize:  # also plumbs the int8 serving mode through the
+            # CLI -> engine -> quantized model path (ops/quant.py);
+            # parametrized so the default path stays covered (ADVICE r3)
+            args += ["--quantize", quantize]
+        try:
+            visloc_mod.main(args)
         finally:
             del visloc_mod.SyntheticVislocDataset
 
