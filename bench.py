@@ -9,7 +9,7 @@ north-star corresponds to value >= 100.
 Self-budgeting (VERDICT r3 item 1: BENCH_r03 was killed by the driver's
 timeout before printing its JSON line): the headline is measured FIRST,
 every further section is gated on remaining wall-clock budget
-(BENCH_BUDGET_S, default 540s), and the ONE JSON line is flushed by an
+(BENCH_BUDGET_S, default 660s), and the ONE JSON line is flushed by an
 atexit hook + SIGTERM/SIGINT handlers, so a timeout kill still yields a
 parsed record with whatever accumulated.
 
@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 A100_REFERENCE_PAIRS_PER_SEC = 10.0  # derived in BASELINE.md
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "660"))
 _T0 = time.monotonic()
 
 
@@ -388,13 +388,13 @@ def main():
     # images -> N*(N-1) pairs; encoder cached). Serving config first -
     # this is the >=10x line (104.6 pairs/s measured on a degraded-clock
     # chip, scripts/exp_r4_levers2) - then the parity config.
-    v = _try("scene-graph serving", 170, bench_scene_graph, batch_size=16,
+    v = _try("scene-graph serving", 90, bench_scene_graph, batch_size=16,
              quantize="int8", head_dtype="bfloat16")
     if v is not None:
         RESULT["scene_graph_pairs_per_sec_serving"] = round(v, 2)
         RESULT["scene_graph_vs_baseline"] = round(
             v / A100_REFERENCE_PAIRS_PER_SEC, 2)
-    v = _try("scene-graph bs=16", 160, bench_scene_graph, batch_size=16)
+    v = _try("scene-graph bs=16", 90, bench_scene_graph, batch_size=16)
     if v is not None:
         RESULT["scene_graph_pairs_per_sec"] = round(v, 2)
 
@@ -403,8 +403,8 @@ def main():
     # for large scenes (complete@50 = 2450 edges would need ~15 GB of
     # observation tensors alone). bf16 observations are the product
     # default; fp32 parity mode only if budget remains.
-    for n, graph, est in ((10, "complete", 30), (25, "complete", 60),
-                          (50, "swin-3", 60)):
+    for n, graph, est in ((10, "complete", 35), (25, "complete", 105),
+                          (50, "swin-3", 80)):
         res = _try(f"aligner n={n} {graph}", est,
                    bench_aligner_iters_per_sec, n_imgs=n, graph=graph,
                    dtypes=("bf16",), mesh=aligner_mesh)

@@ -20,8 +20,13 @@ def main():
     from dust3r_tpu.checkpoint import from_pretrained
     from dust3r_tpu.inference import InferenceEngine
 
+    overrides = {}
+    if getattr(args, "serving", False):
+        import jax.numpy as jnp
+        overrides["head_dtype"] = jnp.bfloat16
+        args.quantize = args.quantize or "int8"
     model, variables = from_pretrained(
-        args.weights or "naver/" + args.model_name)
+        args.weights or "naver/" + args.model_name, **overrides)
     from dust3r_tpu.parallel.mesh import cli_pair_mesh
     mesh, batch_size = cli_pair_mesh(args.mesh)
     if mesh is not None:

@@ -38,45 +38,74 @@ class ColorJitter:
         self.hue = hue
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, img: PIL.Image.Image) -> PIL.Image.Image:
+    def sample_params(self):
+        """Draw (op_name, factor) list in application order. The draw
+        sequence (brightness, contrast, saturation, hue, permutation) is
+        fixed so the native and PIL paths consume identical RNG state."""
         rng = self.rng
         ops = []
         if self.brightness:
-            f = rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
-            ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+            ops.append(("brightness", rng.uniform(
+                max(0, 1 - self.brightness), 1 + self.brightness)))
         if self.contrast:
-            f2 = rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
-            ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f2))
+            ops.append(("contrast", rng.uniform(
+                max(0, 1 - self.contrast), 1 + self.contrast)))
         if self.saturation:
-            f3 = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
-            ops.append(lambda im: ImageEnhance.Color(im).enhance(f3))
+            ops.append(("saturation", rng.uniform(
+                max(0, 1 - self.saturation), 1 + self.saturation)))
         if self.hue:
-            h = rng.uniform(-self.hue, self.hue)
+            ops.append(("hue", rng.uniform(-self.hue, self.hue)))
+        order = rng.permutation(len(ops))
+        return [ops[i] for i in order]
 
-            def shift_hue(im, h=h):
+    @staticmethod
+    def apply_pil(img, params):
+        """PIL/cv2 fallback path (used when the native core is absent)."""
+        for name, f in params:
+            if name == "brightness":
+                img = ImageEnhance.Brightness(img).enhance(f)
+            elif name == "contrast":
+                img = ImageEnhance.Contrast(img).enhance(f)
+            elif name == "saturation":
+                img = ImageEnhance.Color(img).enhance(f)
+            elif name == "hue":
                 # cv2's SIMD HSV roundtrip: ~7x the PIL convert("HSV")
                 # path that dominated the loader profile (14.5 of the
                 # 73 ms/sample Co3d hot path). cv2 hue is [0, 180) per
-                # turn vs PIL's [0, 256), so the shift is h*180 - the
+                # turn vs PIL's [0, 256), so the shift is f*180 - the
                 # same fraction of a full turn torchvision applies.
                 import cv2
-                hsv = cv2.cvtColor(np.asarray(im), cv2.COLOR_RGB2HSV)
-                shift = int(round(h * 180)) % 180
+                hsv = cv2.cvtColor(np.asarray(img), cv2.COLOR_RGB2HSV)
+                shift = int(round(f * 180)) % 180
                 # widen before adding: a uint8 sum wraps mod 256 BEFORE
                 # the mod-180, corrupting hues whenever hue + shift > 255
                 hue = (hsv[..., 0].astype(np.int16) + shift) % 180
                 hsv[..., 0] = hue.astype(np.uint8)
-                return PIL.Image.fromarray(
-                    cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB))
-            ops.append(shift_hue)
-        order = rng.permutation(len(ops))
-        for i in order:
-            img = ops[i](img)
+                img = PIL.Image.fromarray(cv2.cvtColor(hsv,
+                                                       cv2.COLOR_HSV2RGB))
         return img
+
+    def __call__(self, img: PIL.Image.Image) -> PIL.Image.Image:
+        return self.apply_pil(img, self.sample_params())
 
 
 def ColorJitterAndNorm(img, rng=None):
-    return ImgNorm(ColorJitter(rng=rng)(img))
+    """Jitter + normalize. Fused single-call native path
+    (native/fastimg.cpp color_jitter_norm_u8: float math, one OpenMP pass
+    per op, exact-turn hue) when the library is built; PIL/cv2 otherwise.
+    Equivalence pinned by tests/test_fastimg.py (few-LSB tolerance: the
+    fallback quantizes to uint8 between ops, the native path doesn't)."""
+    jit = ColorJitter(rng=rng)
+    params = jit.sample_params()
+    arr = np.asarray(img)
+    if arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[-1] == 3:
+        from ...utils.fastimg import color_jitter_norm
+
+        out = color_jitter_norm(arr, [n for n, _ in params],
+                                [f for _, f in params])
+        if out is not None:
+            return out
+    return ImgNorm(ColorJitter.apply_pil(img, params))
 
 
 # Names accepted by the dataset DSL (reference train configs say e.g.

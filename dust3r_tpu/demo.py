@@ -50,6 +50,11 @@ def get_args_parser():
                         choices=["int8"],
                         help="int8 serving mode: transformer gemms on int8 "
                              "MXU operands (ops/quant.py; ~1.12x forward)")
+    parser.add_argument("--serving", action="store_true",
+                        help="the measured best serving config: int8 block "
+                             "gemms + bf16 heads (1.16x the parity config; "
+                             "accuracy contracts tests/test_quant.py + "
+                             "tests/test_heads.py)")
     parser.add_argument("--tmp_dir", type=str, default=None)
     parser.add_argument("--silent", action="store_true", default=False)
     return parser

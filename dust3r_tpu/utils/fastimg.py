@@ -44,9 +44,19 @@ def _load():
         return False
     try:
         lib = ctypes.CDLL(path)
+        if not hasattr(lib, "color_jitter_norm_u8"):
+            # stale .so from before the fused-jitter kernel: rebuild once
+            path = ensure_built(force=True)
+            lib = ctypes.CDLL(path) if path else None
+            if lib is None or not hasattr(lib, "color_jitter_norm_u8"):
+                raise OSError("rebuild failed")
     except OSError:
         _LIB = False
         return False
+    lib.color_jitter_norm_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
     lib.imgnorm_u8_f32.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64]
@@ -109,4 +119,34 @@ def resize_nearest(depth_f32, out_h, out_w):
     lib.resize_nearest_f32(
         depth_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), sh, sw,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_h, out_w)
+    return out
+
+
+# op codes for color_jitter_norm_u8
+JITTER_OPS = {"brightness": 0, "contrast": 1, "saturation": 2, "hue": 3}
+
+
+def color_jitter_norm(arr_u8, ops, factors):
+    """Fused ColorJitter + ImgNorm on a uint8 (H, W, 3) image.
+
+    ops: list of op names (JITTER_OPS keys) in application order;
+    factors: matching enhance factors (hue: turn fraction).
+    Returns float32 (H, W, 3) in [-1, 1], or None when the native lib is
+    unavailable (caller falls back to the PIL/cv2 path).
+    """
+    lib = _load()
+    if not lib:
+        return None
+    arr_u8 = np.ascontiguousarray(arr_u8, dtype=np.uint8)
+    assert arr_u8.ndim == 3 and arr_u8.shape[-1] == 3
+    out = np.empty(arr_u8.shape, np.float32)
+    ops_arr = np.asarray([JITTER_OPS[o] for o in ops], np.int32)
+    fac_arr = np.asarray(factors, np.float32)
+    lib.color_jitter_norm_u8(
+        arr_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arr_u8.shape[0] * arr_u8.shape[1],
+        ops_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ops),
+        fac_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out

@@ -15,6 +15,7 @@ Three tiers (VERDICT r1 item 6):
 Artifacts are produced by scripts/make_goldens.py on the CPU backend.
 """
 import os.path as osp
+import sys
 
 import numpy as np
 import pytest
@@ -160,3 +161,44 @@ class TestAlignerTrajectoryGolden:
             rtol=1e-3)
         np.testing.assert_allclose(np.asarray(scene.get_im_poses()),
                                    golden["im_poses"], atol=1e-3)
+
+
+class TestServingConfigGoldenAnchor:
+    """Accuracy anchor for the SERVING config (int8 block gemms + bf16
+    heads — the demo/visloc --serving flag; measured 1.16x the parity
+    config, docs/DESIGN.md round-4) against the committed fp32 512-bucket
+    goldens. These are random structural weights, so |raw xyz| is larger
+    than trained pointmaps and the expm1 postprocess amplifies the
+    quantization/rounding noise accordingly — measured rel-RMSE at commit
+    time: dpt pts3d 5.6e-2/8.1e-2, linear 2.1e-2/2.3e-2, conf <=1.3e-2.
+    Bounds are ~1.5x those values: a silent regression in the quant or
+    bf16-head path (e.g. a scale bug) trips this long before it reaches
+    the 4x-noise contracts. The PARITY config (fp32 heads, no quant)
+    remains the one held to the 1e-2 budget (test_bucket_golden)."""
+
+    BOUNDS = {  # head_type -> {key: max rel RMSE}
+        "dpt": {"pts3d1": 0.09, "pts3d2": 0.12, "conf1": 0.01},
+        "linear": {"pts3d1": 0.04, "pts3d2": 0.04, "conf1": 0.025},
+    }
+
+    @pytest.mark.parametrize("head_type", ["dpt", "linear"])
+    def test_serving_vs_golden(self, head_type):
+        import jax.numpy as jnp
+        from dust3r_tpu.ops.quant import quantize_for_inference
+
+        sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+            osp.abspath(__file__))), "scripts"))
+        from make_goldens import bucket_model_and_inputs, outputs_to_golden
+
+        model, variables, img1, img2 = bucket_model_and_inputs(head_type)
+        serving = model.clone(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
+        qmodel, qparams = quantize_for_inference(serving, variables)
+        r1, r2 = jax.jit(qmodel.apply)(qparams, img1, img2)
+        out = outputs_to_golden(r1, r2)
+        golden = np.load(osp.join(GOLDEN_DIR, f"bucket512_{head_type}.npz"))
+        for k, bound in self.BOUNDS[head_type].items():
+            a = out[k].astype(np.float64)
+            b = golden[k].astype(np.float64)
+            rel = (np.sqrt(np.mean((a - b) ** 2))
+                   / max(np.sqrt(np.mean(b ** 2)), 1e-9))
+            assert rel < bound, f"{head_type}/{k}: {rel:.3e} > {bound}"

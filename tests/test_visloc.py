@@ -193,7 +193,7 @@ class TestVislocMain:
     synthetic .pth checkpoint + synthetic dataset; asserts the LTVL result
     export, the aggregate stats line, and the --viz_matches overlays."""
 
-    @pytest.mark.parametrize("quantize", [None, "int8"])
+    @pytest.mark.parametrize("quantize", [None, "int8", "serving"])
     def test_main_end_to_end(self, tmp_path, quantize):
         import sys
         import PIL.Image
@@ -268,7 +268,10 @@ class TestVislocMain:
                 "--confidence_threshold", "1.0",
                 "--viz_matches", "10",
                 "--output_dir", str(out_dir)]
-        if quantize:  # also plumbs the int8 serving mode through the
+        if quantize == "serving":
+            # the measured best serving config (int8 + bf16 heads)
+            args += ["--serving"]
+        elif quantize:  # also plumbs the int8 serving mode through the
             # CLI -> engine -> quantized model path (ops/quant.py);
             # parametrized so the default path stays covered (ADVICE r3)
             args += ["--quantize", quantize]

@@ -1,0 +1,254 @@
+"""End-to-end visloc.py::main over a synthetic miniature COLMAP-text +
+kapture scene with known ground truth (VERDICT r3 item 5).
+
+Drives the REAL dataset class (BaseVislocColmapDataset: cameras.txt /
+images.txt / points3D.txt parsing, pairsfile retrieval, sparse-3D view
+building — reference dust3r_visloc/datasets/base_colmap.py:96-282)
+through the REAL driver (visloc.py main: matching -> PnP -> LTVL export,
+reference visloc.py:50-193), replacing only the neural model with a
+geometric ORACLE that returns exact GT pointmaps — so recovered poses
+must match GT to PnP precision (~0).
+
+kapture + quaternion are optional deps absent from this container; the
+minimal API surface the dataset consumes is stubbed in sys.modules.
+"""
+import hashlib
+import os
+import os.path as osp
+import sys
+import types
+
+import numpy as np
+import PIL.Image
+import pytest
+
+# ---------------------------------------------------------------- scene
+W = H = 224
+F = 200.0           # SIMPLE_PINHOLE focal (colmap convention cx=cy=112)
+CX = CY = 112.0
+DEPTH = 5.0         # all cameras at z=-DEPTH looking at the z=0 plane
+
+MAP_CENTERS = {
+    "db/m0.png": np.float32([0.6, 0.6, -DEPTH]),
+    "db/m1.png": np.float32([-0.6, 0.6, -DEPTH]),
+    "db/m2.png": np.float32([0.6, -0.6, -DEPTH]),
+    "db/m3.png": np.float32([-0.6, -0.6, -DEPTH]),
+}
+QUERY_CENTERS = {
+    "query/q0.png": np.float32([0.3, -0.2, -DEPTH]),
+    "query/q1.png": np.float32([-0.25, 0.15, -DEPTH]),
+}
+
+
+def _cam_grid_dirs():
+    """(H, W, 3) ray directions for cv2-convention pixel centers."""
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    cx, cy = CX - 0.5, CY - 0.5  # opencv convention
+    return np.stack([(u - cx) / F, (v - cy) / F, np.ones_like(u)], -1)
+
+
+def _pts_world(center):
+    """Dense GT: every pixel's 3D point on the z=0 plane (R = I)."""
+    return center[None, None] + DEPTH * _cam_grid_dirs()
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("visloc_colmap")
+    rng = np.random.default_rng(0)
+    img_dir = root / "images"
+    for sub in ("db", "query"):
+        os.makedirs(img_dir / sub, exist_ok=True)
+    for name in list(MAP_CENTERS) + list(QUERY_CENTERS):
+        arr = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(img_dir / name)
+
+    sfm = root / "sfm"
+    os.makedirs(sfm)
+    with open(sfm / "cameras.txt", "w") as f:
+        f.write("# cameras\n")
+        f.write(f"1 SIMPLE_PINHOLE {W} {H} {F:g} {CX:g} {CY:g}\n")
+
+    dirs = _cam_grid_dirs()
+    pid = 0
+    img_lines, pts_lines = ["# images"], ["# points3D"]
+    for img_id, (name, C) in enumerate(MAP_CENTERS.items(), start=1):
+        # world2cam with R=I: q=(1,0,0,0), t=-C
+        img_lines.append(
+            f"{img_id} 1 0 0 0 {-C[0]:g} {-C[1]:g} {-C[2]:g} 1 {name}")
+        obs = []
+        for v in range(4, H - 4, 6):       # stride-6 sparse observations
+            for u in range(4, W - 4, 6):
+                p = C + DEPTH * dirs[v, u].astype(np.float32)
+                pid += 1
+                pts_lines.append(f"{pid} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}"
+                                 " 128 128 128 0.0")
+                # colmap pixel convention = cv2 + 0.5
+                obs += [f"{u + 0.5:g}", f"{v + 0.5:g}", str(pid)]
+        img_lines.append(" ".join(obs))
+    with open(sfm / "images.txt", "w") as f:
+        f.write("\n".join(img_lines) + "\n")
+    with open(sfm / "points3D.txt", "w") as f:
+        f.write("\n".join(pts_lines) + "\n")
+
+    with open(root / "pairsfile.txt", "w") as f:
+        for q in QUERY_CENTERS:
+            for score, m in enumerate(list(MAP_CENTERS)[:2]):
+                f.write(f"{q} {m} {10 - score}\n")
+
+    os.makedirs(root / "kapture_query")
+    return root
+
+
+def _install_stubs(monkeypatch):
+    """Minimal kapture + quaternion API surface used by the dataset
+    (base_colmap.py imports them lazily)."""
+    class CameraType:
+        SIMPLE_PINHOLE = "SIMPLE_PINHOLE"
+        SIMPLE_RADIAL = "SIMPLE_RADIAL"
+
+    class Records:
+        def __init__(self, names):
+            self._by_key = {(i, "cam0"): n for i, n in enumerate(names)}
+
+        def key_pairs(self):
+            return list(self._by_key)
+
+        def __getitem__(self, key):
+            return self._by_key[key]
+
+        def data_list(self):
+            return [self._by_key[k] for k in sorted(self._by_key)]
+
+    class Traj:
+        """world2cam pose record; .inverse() yields cam2world."""
+        def __init__(self, C):
+            self._C = np.asarray(C, np.float32)
+
+        def inverse(self):
+            return types.SimpleNamespace(r=np.eye(3, dtype=np.float32),
+                                         t_raw=self._C)
+
+    class Trajectories(dict):
+        pass
+
+    def kapture_from_dir(path):
+        names = list(QUERY_CENTERS)
+        sensors = {"cam0": types.SimpleNamespace(
+            camera_type=CameraType.SIMPLE_PINHOLE,
+            camera_params=(W, H, F, CX, CY))}
+        traj = Trajectories()
+        for i, n in enumerate(names):
+            traj[(i, "cam0")] = Traj(QUERY_CENTERS[n])
+        return types.SimpleNamespace(records_camera=Records(names),
+                                     sensors=sensors, trajectories=traj)
+
+    kapture = types.ModuleType("kapture")
+    kapture_io = types.ModuleType("kapture.io")
+    kapture_io_csv = types.ModuleType("kapture.io.csv")
+    kapture_io_csv.kapture_from_dir = kapture_from_dir
+    kapture_core = types.ModuleType("kapture.core")
+    kapture_core.CameraType = CameraType
+    kapture.io = kapture_io
+    kapture.core = kapture_core
+    quaternion = types.ModuleType("quaternion")
+    quaternion.as_rotation_matrix = np.asarray
+    for name, mod in (("kapture", kapture), ("kapture.io", kapture_io),
+                      ("kapture.io.csv", kapture_io_csv),
+                      ("kapture.core", kapture_core),
+                      ("quaternion", quaternion)):
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+def _oracle_registry(scene_dir):
+    """Map rgb_rescaled bytes -> camera center (identity resize at the
+    native 224 bucket, so rescaled == ImgNorm(original))."""
+    from dust3r_tpu.datasets.utils.transforms import ImgNorm
+
+    reg = {}
+    for name, C in {**MAP_CENTERS, **QUERY_CENTERS}.items():
+        img = PIL.Image.open(scene_dir / "images" / name).convert("RGB")
+        arr = np.asarray(ImgNorm(img), np.float32)
+        reg[hashlib.md5(arr.tobytes()).hexdigest()] = C
+    return reg
+
+
+def test_visloc_main_colmap_scene_oracle(scene_dir, monkeypatch, capsys):
+    _install_stubs(monkeypatch)
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    import visloc as visloc_mod
+    from dust3r_tpu.visloc.datasets.base_colmap import (
+        BaseVislocColmapDataset)
+    from dust3r_tpu.visloc.evaluation import get_pose_error
+    from dust3r_tpu.utils.pose import quat_to_rotmat
+
+    registry = _oracle_registry(scene_dir)
+
+    def oracle_inference(pairs, engine, verbose=False):
+        (img_q, img_m), = pairs
+        aq = np.asarray(img_q["img"], np.float32)[0]
+        am = np.asarray(img_m["img"], np.float32)[0]
+        C_q = registry[hashlib.md5(aq.tobytes()).hexdigest()]
+        C_m = registry[hashlib.md5(am.tobytes()).hexdigest()]
+        dirs = _cam_grid_dirs().astype(np.float32)
+        pts_q_in_q = DEPTH * dirs                      # world - C_q, R=I
+        pts_m_in_q = (C_m - C_q)[None, None] + DEPTH * dirs
+        conf = np.full((1, H, W), 10.0, np.float32)
+        return dict(
+            view1=img_q, view2=img_m,
+            pred1=dict(pts3d=pts_q_in_q[None], conf=conf),
+            pred2=dict(pts3d_in_other_view=pts_m_in_q[None], conf=conf))
+
+    def fake_from_pretrained(path, **kw):
+        return types.SimpleNamespace(img_size=(224, 224), patch_size=16), {}
+
+    class FakeEngine:
+        def __init__(self, *a, **kw):
+            pass
+
+    monkeypatch.setattr(visloc_mod, "inference", oracle_inference)
+    monkeypatch.setattr(visloc_mod, "from_pretrained", fake_from_pretrained)
+    monkeypatch.setattr(visloc_mod, "InferenceEngine", FakeEngine)
+
+    def make_dataset():
+        return BaseVislocColmapDataset(
+            image_path=str(scene_dir / "images"),
+            map_path=str(scene_dir / "sfm"),
+            query_path=str(scene_dir / "kapture_query"),
+            pairsfile_path=str(scene_dir / "pairsfile.txt"),
+            topk=2)
+
+    monkeypatch.setattr(visloc_mod, "TestColmapScene", make_dataset,
+                        raising=False)
+
+    out_dir = scene_dir / "out"
+    visloc_mod.main(["--dataset", "TestColmapScene()",
+                     "--weights", "oracle",
+                     "--confidence_threshold", "3.0",
+                     "--output_dir", str(out_dir)])
+
+    printed = capsys.readouterr().out
+    assert "median_pos_error" in printed
+
+    # recover exported poses and check them against GT ourselves
+    results = [p for p in os.listdir(out_dir) if p.endswith("_results.txt")]
+    assert len(results) == 1
+    by_name = {}
+    with open(out_dir / results[0]) as f:
+        for line in f:
+            parts = line.split()
+            name = parts[0]
+            qw, qx, qy, qz, tx, ty, tz = map(float, parts[1:])
+            w2c = np.eye(4)
+            w2c[:3, :3] = np.asarray(quat_to_rotmat(
+                np.array([qx, qy, qz, qw])))
+            w2c[:3, 3] = (tx, ty, tz)
+            by_name[name] = np.linalg.inv(w2c)
+    assert set(by_name) == set(QUERY_CENTERS)
+    for name, C in QUERY_CENTERS.items():
+        gt = np.eye(4, dtype=np.float64)
+        gt[:3, 3] = C
+        te, ae = get_pose_error(by_name[name], gt)
+        assert te < 0.01, (name, te)
+        assert ae < 0.2, (name, ae)

@@ -47,6 +47,9 @@ def get_args_parser():
                         choices=["int8"],
                         help="int8 serving mode: transformer gemms on int8 "
                              "MXU operands (ops/quant.py; ~1.12x forward)")
+    parser.add_argument("--serving", action="store_true",
+                        help="the measured best serving config: int8 block "
+                             "gemms + bf16 heads (1.16x the parity config)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard inference batches over this many "
                              "devices (0 = off)")
@@ -149,7 +152,12 @@ def main(argv=None):
     args = get_args_parser().parse_args(argv)
 
     weights_path = args.weights if args.weights else "naver/" + args.model_name
-    model, variables = from_pretrained(weights_path)
+    overrides = {}
+    if args.serving:
+        import jax.numpy as jnp
+        overrides["head_dtype"] = jnp.bfloat16
+        args.quantize = args.quantize or "int8"
+    model, variables = from_pretrained(weights_path, **overrides)
     from dust3r_tpu.parallel.mesh import cli_pair_mesh
     mesh, batch_size = cli_pair_mesh(args.mesh)
     engine = InferenceEngine(model, variables, batch_size=batch_size,
