@@ -388,7 +388,9 @@ def main():
     # images -> N*(N-1) pairs; encoder cached). Serving config first -
     # this is the >=10x line (104.6 pairs/s measured on a degraded-clock
     # chip, scripts/exp_r4_levers2) - then the parity config.
-    v = _try("scene-graph serving", 90, bench_scene_graph, batch_size=16,
+    # bs=8 re-measured best under int8+bf16h (116.5 vs 106.4 pairs/s at
+    # bs=16, interleaved confirm, scripts/exp_r4_sgbs.py; bs=24/32 worse)
+    v = _try("scene-graph serving", 90, bench_scene_graph, batch_size=8,
              quantize="int8", head_dtype="bfloat16")
     if v is not None:
         RESULT["scene_graph_pairs_per_sec_serving"] = round(v, 2)
