@@ -75,9 +75,14 @@ def _on_signal(signum, frame):
     os.kill(os.getpid(), signum)
 
 
-atexit.register(emit)
-for _sig in (signal.SIGTERM, signal.SIGINT):
-    signal.signal(_sig, _on_signal)
+def _install_emit_hooks():
+    """Install the always-emit machinery. Called from main() only: scripts
+    that `import bench` to reuse a section must not inherit the atexit
+    JSON line (a bogus zero-value record on their stdout) or have their
+    SIGTERM/SIGINT rewired."""
+    atexit.register(emit)
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_signal)
 
 
 _PARAMS_CACHE = {}
@@ -348,6 +353,8 @@ def _try(name, est_cost_s, fn, *a, **kw):
 
 
 def main():
+    _install_emit_hooks()  # before the (slow) jax import: a SIGTERM during
+    # backend init must still flush the JSON line
     import jax
     log(f"devices: {jax.devices()}  (budget {BUDGET_S:.0f}s)")
     aligner_mesh = "--mesh" in sys.argv  # multi-chip aligner mode

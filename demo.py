@@ -23,6 +23,10 @@ def main():
     overrides = {}
     if getattr(args, "serving", False):
         import jax.numpy as jnp
+        # the measured 1.16x serving config (docs/DESIGN.md round-4 table
+        # row g): bf16 BODY + bf16 heads + int8 block gemms. Without the
+        # body dtype the model runs an unmeasured fp32-body configuration.
+        overrides["dtype"] = jnp.bfloat16
         overrides["head_dtype"] = jnp.bfloat16
         args.quantize = args.quantize or "int8"
     model, variables = from_pretrained(

@@ -6,31 +6,58 @@ built; `ensure_built()` compiles it on demand with g++.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import os.path as osp
 import subprocess
+import tempfile
 
 import numpy as np
 
 _LIB = None
 _NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.dirname(
     osp.abspath(__file__)))), "native")
-_LIB_PATH = osp.join(_NATIVE_DIR, "libfastimg.so")
+_SRC_PATH = osp.join(_NATIVE_DIR, "fastimg.cpp")
+
+
+def _lib_path():
+    """Library filename versioned by a source hash. Two invariants this
+    buys: (1) a kernel added to fastimg.cpp gets a NEW filename, so a
+    process that already dlopen'ed the old build never 'rebuilds' into the
+    glibc pathname cache (CDLL on a rewritten path returns the OLD
+    handle); (2) no process ever overwrites a .so another process has
+    mapped (rewriting a mapped file risks SIGBUS)."""
+    with open(_SRC_PATH, "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    return osp.join(_NATIVE_DIR, f"libfastimg-{tag}.so")
 
 
 def ensure_built(force=False):
-    """Compile the shared library if missing; returns path or None."""
-    if osp.isfile(_LIB_PATH) and not force:
-        return _LIB_PATH
-    src = osp.join(_NATIVE_DIR, "fastimg.cpp")
-    if not osp.isfile(src):
+    """Compile the shared library if missing; returns path or None.
+
+    Concurrent-safe: each builder compiles to its own temp file and
+    publishes with an atomic os.replace, so N dataloader workers racing
+    the first build all end up loading a complete library."""
+    if not osp.isfile(_SRC_PATH):
         return None
+    path = _lib_path()
+    if osp.isfile(path) and not force:
+        return path
+    tmp = None
     try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_NATIVE_DIR)
+        os.close(fd)
         subprocess.run(["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                        "-fPIC", "-o", _LIB_PATH, src], check=True,
+                        "-fPIC", "-o", tmp, _SRC_PATH], check=True,
                        capture_output=True)
-        return _LIB_PATH
+        os.replace(tmp, path)  # atomic publish
+        return path
     except Exception:
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return None
 
 
@@ -44,12 +71,11 @@ def _load():
         return False
     try:
         lib = ctypes.CDLL(path)
+        # the hash-versioned filename pins the binary to the current
+        # source, so a symbol can only be missing if the compile itself
+        # mis-produced — fall back to numpy rather than loop rebuilding
         if not hasattr(lib, "color_jitter_norm_u8"):
-            # stale .so from before the fused-jitter kernel: rebuild once
-            path = ensure_built(force=True)
-            lib = ctypes.CDLL(path) if path else None
-            if lib is None or not hasattr(lib, "color_jitter_norm_u8"):
-                raise OSError("rebuild failed")
+            raise OSError("built library is missing expected symbols")
     except OSError:
         _LIB = False
         return False

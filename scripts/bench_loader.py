@@ -31,37 +31,12 @@ import numpy as np  # noqa: E402
 import cv2  # noqa: E402
 
 
+from co3d_fixture import make_co3d_fixture  # noqa: E402 - shared fixture
+
+
 def make_fixture(root, H=384, W=512, n_frames=100):
     """Co3d fixture at realistic (512-bucket) image sizes."""
-    rng = np.random.default_rng(0)
-    focal = 400.0
-    selected = {}
-    for cat, seq in [("apple", "seq0"), ("apple", "seq1")]:
-        frames = list(range(n_frames))
-        selected.setdefault(cat, {})[seq] = frames
-        base = osp.join(root, cat, seq)
-        for sub in ("images", "depths", "masks"):
-            os.makedirs(osp.join(base, sub), exist_ok=True)
-        for fn in frames:
-            img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
-            cv2.imwrite(osp.join(base, "images", f"frame{fn:06d}.jpg"), img)
-            depth = rng.uniform(1, 4, (H, W)).astype(np.float32)
-            md = float(depth.max())
-            cv2.imwrite(osp.join(base, "depths",
-                                 f"frame{fn:06d}.jpg.geometric.png"),
-                        (depth / md * 65535).astype(np.uint16))
-            cv2.imwrite(osp.join(base, "masks", f"frame{fn:06d}.png"),
-                        (rng.uniform(size=(H, W)) > 0.2).astype(
-                            np.uint8) * 255)
-            K = np.float32([[focal, 0, W / 2], [0, focal, H / 2],
-                            [0, 0, 1]])
-            pose = np.eye(4, dtype=np.float32)
-            pose[:3, 3] = rng.standard_normal(3)
-            np.savez(osp.join(base, "images", f"frame{fn:06d}.npz"),
-                     camera_intrinsics=K, camera_pose=pose,
-                     maximum_depth=md)
-    with open(osp.join(root, "selected_seqs_train.json"), "w") as f:
-        json.dump(selected, f)
+    make_co3d_fixture(root, H=H, W=W, n_frames=n_frames)
 
 
 def bench_dataset(root, n_samples=40, resolution=(512, 384), transform=None):

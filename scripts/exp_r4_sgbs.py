@@ -7,7 +7,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from exp_r4_levers import gemm_yardstick, scene_graph, log
+from exp_r4_levers import gemm_yardstick, log
 
 
 def main():
@@ -30,14 +30,12 @@ def main():
     params = init_bf16(jax.random.PRNGKey(2), probe, probe)
     _ = float(jnp.sum(params["params"]["enc_norm"]["ln"]["scale"]))
 
-    import exp_r4_levers as L
-
     results = {}
     for bs in (16, 24, 32, 8):
-        # scene_graph hardcodes bs=16 via InferenceEngine arg; reuse its
-        # body with a patched engine batch size
+        # same timing protocol as exp_r4_levers.scene_graph (sweep numbers
+        # must stay comparable to the levers-table numbers), with the
+        # engine batch size as the swept variable
         import numpy as np
-        from dust3r_tpu.models import heads as heads_mod
         from dust3r_tpu.inference import InferenceEngine
         from dust3r_tpu.image_pairs import make_pairs
 

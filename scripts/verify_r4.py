@@ -17,38 +17,10 @@ import numpy as np
 import cv2
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 
-def make_co3d_fixture(root):
-    rng = np.random.default_rng(0)
-    H, W = 96, 128
-    focal = 100.0
-    selected = {}
-    for cat, seq in [("apple", "seq0"), ("apple", "seq1")]:
-        frames = list(range(100))
-        selected.setdefault(cat, {})[seq] = frames
-        base = osp.join(root, cat, seq)
-        os.makedirs(osp.join(base, "images"), exist_ok=True)
-        os.makedirs(osp.join(base, "depths"), exist_ok=True)
-        os.makedirs(osp.join(base, "masks"), exist_ok=True)
-        for fn in frames:
-            img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
-            cv2.imwrite(osp.join(base, "images", f"frame{fn:06d}.jpg"), img)
-            depth = rng.uniform(1, 4, (H, W)).astype(np.float32)
-            max_depth = float(depth.max())
-            d16 = (depth / max_depth * 65535).astype(np.uint16)
-            cv2.imwrite(osp.join(base, "depths",
-                                 f"frame{fn:06d}.jpg.geometric.png"), d16)
-            mask = (rng.uniform(size=(H, W)) > 0.2).astype(np.uint8) * 255
-            cv2.imwrite(osp.join(base, "masks", f"frame{fn:06d}.png"), mask)
-            K = np.float32([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
-            pose = np.eye(4, dtype=np.float32)
-            pose[:3, 3] = rng.standard_normal(3)
-            np.savez(osp.join(base, "images", f"frame{fn:06d}.npz"),
-                     camera_intrinsics=K, camera_pose=pose,
-                     maximum_depth=max_depth)
-    with open(osp.join(root, "selected_seqs_train.json"), "w") as f:
-        json.dump(selected, f)
+from co3d_fixture import make_co3d_fixture  # noqa: E402 - shared fixture
 
 
 def drive_train_cli(fixture, outdir):

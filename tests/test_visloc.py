@@ -262,6 +262,18 @@ class TestVislocMain:
                 return [query_view, map_view]
 
         visloc_mod.SyntheticVislocDataset = SyntheticVislocDataset
+        # record the model the CLI actually builds, to pin the serving
+        # config (bf16 BODY + bf16 heads + int8) — a --serving that only
+        # set head_dtype shipped an unmeasured fp32-body config once
+        built = {}
+        orig_from_pretrained = visloc_mod.from_pretrained
+
+        def recording_from_pretrained(*a, **kw):
+            model, variables = orig_from_pretrained(*a, **kw)
+            built["model"] = model
+            return model, variables
+
+        visloc_mod.from_pretrained = recording_from_pretrained
         out_dir = tmp_path / "out"
         args = ["--dataset", "SyntheticVislocDataset()",
                 "--weights", str(ckpt),
@@ -279,6 +291,14 @@ class TestVislocMain:
             visloc_mod.main(args)
         finally:
             del visloc_mod.SyntheticVislocDataset
+            visloc_mod.from_pretrained = orig_from_pretrained
+
+        if quantize == "serving":
+            assert built["model"].dtype == jnp.bfloat16
+            assert built["model"].head_dtype == jnp.bfloat16
+        else:
+            assert built["model"].dtype == jnp.float32  # reference default
+            assert built["model"].head_dtype == jnp.float32
 
         # LTVL export + stats printed; viz overlay written
         results = list(out_dir.glob("*_results.txt"))

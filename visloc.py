@@ -155,6 +155,10 @@ def main(argv=None):
     overrides = {}
     if args.serving:
         import jax.numpy as jnp
+        # bf16 body + bf16 heads + int8 gemms — the measured serving
+        # config (docs/DESIGN.md round-4 table row g); body dtype included
+        # so the CLI matches what was benchmarked.
+        overrides["dtype"] = jnp.bfloat16
         overrides["head_dtype"] = jnp.bfloat16
         args.quantize = args.quantize or "int8"
     model, variables = from_pretrained(weights_path, **overrides)
