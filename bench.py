@@ -89,9 +89,16 @@ _PARAMS_CACHE = {}
 
 
 def _bench_params(model, H, W):
-    """Init bf16 params once and reuse across buckets/batch sizes (params
-    are shape-independent; re-initializing costs ~2.5 min each on the
-    tunneled chip)."""
+    """Build bf16 params once and reuse across buckets/batch sizes (params
+    are shape-independent).
+
+    Shapes come from jax.eval_shape (pure host tracing, no device work)
+    and the values from ONE cheap fused on-device random fill. A real
+    `model.init` runs the whole forward on-device and was measured at
+    150-306 s through the tunneled chip — half the bench budget. Weight
+    VALUES are irrelevant to throughput on TPU (matmul/conv timing is
+    data-independent; no denormal slow paths on the MXU), and accuracy is
+    never read off these params (parity lives in tests/goldens)."""
     import jax
     import jax.numpy as jnp
 
@@ -99,18 +106,29 @@ def _bench_params(model, H, W):
     if key in _PARAMS_CACHE:
         return _PARAMS_CACHE[key]
 
-    @jax.jit
-    def init_bf16(k, i1, i2):
-        p = model.init(k, i1, i2)
-        return jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p)
-
-    log(f"init params ({H}x{W}) ...")
+    log(f"make params ({H}x{W}) ...")
     t0 = time.perf_counter()
-    probe = jnp.zeros((1, H, W, 3), jnp.float32)
-    params = init_bf16(jax.random.PRNGKey(2), probe, probe)
+    probe = jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32)
+    var_shapes = jax.eval_shape(model.init, jax.random.PRNGKey(2),
+                                probe, probe)
+    flat, treedef = jax.tree_util.tree_flatten(var_shapes)
+    sizes = [int(np.prod(s.shape)) if s.shape else 1 for s in flat]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+
+    @jax.jit
+    def make(k):
+        # ONE flat rng fill + static slices: a per-leaf rng (992 threefry
+        # ops) produced an HLO that took minutes to compile remotely.
+        # 0.02-scaled normals: sane activation magnitudes, bf16 storage
+        # (the same storage dtype the old init_bf16 produced).
+        base = 0.02 * jax.random.normal(k, (int(offs[-1]),), jnp.bfloat16)
+        return jax.tree_util.tree_unflatten(treedef, [
+            jax.lax.slice(base, (int(o),), (int(o) + n,)).reshape(s.shape)
+            for o, n, s in zip(offs[:-1], sizes, flat)])
+
+    params = make(jax.random.PRNGKey(2))
     _ = float(jnp.sum(params["params"]["enc_norm"]["ln"]["scale"]))  # sync
-    log(f"init: {time.perf_counter() - t0:.1f}s")
+    log(f"make params: {time.perf_counter() - t0:.1f}s")
     _PARAMS_CACHE[key] = params
     return params
 
@@ -290,7 +308,6 @@ def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8,
     the architectural win over the reference's per-pair encoding.
     quantize='int8' + head_dtype='bfloat16' is the serving config
     (accuracy contracts: tests/test_quant.py, tests/test_heads.py)."""
-    import jax
     import jax.numpy as jnp
     import numpy as np
     from dust3r_tpu.models.model import dust3r_512_dpt
@@ -300,12 +317,6 @@ def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8,
     model = dust3r_512_dpt(dtype=jnp.bfloat16,
                            head_dtype=jnp.dtype(head_dtype))
 
-    @jax.jit
-    def init_bf16(key, i1, i2):
-        p = model.init(key, i1, i2)
-        return jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p)
-
     rng = np.random.default_rng(0)
     # stage the images on device up front: through the axon tunnel the
     # host->device copy is slow and would otherwise dominate the timing
@@ -314,8 +325,10 @@ def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8,
                       rng.standard_normal((1, H, W, 3)).astype(np.float32)),
                   true_shape=np.int32([[H, W]]), idx=i, instance=str(i))
              for i in range(n_imgs)]
-    probe = views[0]["img"]
-    params = init_bf16(jax.random.PRNGKey(0), probe, probe)
+    # reuse the shared bf16 params (shape-identical across head dtypes):
+    # a fresh init here once put a THIRD full parameter set + its init
+    # executable on the 16 GB chip and OOM'ed the section
+    params = _bench_params(model, H, W)
     engine = InferenceEngine(model, params, batch_size=batch_size,
                              quantize=quantize)
 
@@ -338,10 +351,22 @@ def bench_scene_graph(n_imgs=10, H=384, W=512, batch_size=8,
     return best
 
 
-def _try(name, est_cost_s, fn, *a, **kw):
-    """Run a section if budget allows; exceptions are logged, not fatal."""
+def _try(name, est_cost_s, fn, *a, clear_first=False, **kw):
+    """Run a section if budget allows; exceptions are logged, not fatal.
+
+    clear_first: drop all jit executables before the section. The big
+    sections each compile their own programs; by mid-run the accumulated
+    executables + scratch put the 16 GB chip close enough to full that a
+    section can die with RESOURCE_EXHAUSTED (observed: scene-graph warmup
+    after the two headline configs). Recompiles are cheap via the
+    persistent compile cache. On ANY failure the caches are also cleared
+    so one OOM'ed section doesn't poison everything after it."""
     if not budget_left(est_cost_s):
         return None
+    if clear_first:
+        import jax
+
+        jax.clear_caches()
     t0 = time.perf_counter()
     try:
         out = fn(*a, **kw)
@@ -349,6 +374,9 @@ def _try(name, est_cost_s, fn, *a, **kw):
         return out
     except Exception as e:
         log(f"[section] {name} failed: {type(e).__name__}: {e}")
+        import jax
+
+        jax.clear_caches()
         return None
 
 
@@ -398,12 +426,13 @@ def main():
     # bs=8 re-measured best under int8+bf16h (116.5 vs 106.4 pairs/s at
     # bs=16, interleaved confirm, scripts/exp_r4_sgbs.py; bs=24/32 worse)
     v = _try("scene-graph serving", 90, bench_scene_graph, batch_size=8,
-             quantize="int8", head_dtype="bfloat16")
+             quantize="int8", head_dtype="bfloat16", clear_first=True)
     if v is not None:
         RESULT["scene_graph_pairs_per_sec_serving"] = round(v, 2)
         RESULT["scene_graph_vs_baseline"] = round(
             v / A100_REFERENCE_PAIRS_PER_SEC, 2)
-    v = _try("scene-graph bs=16", 90, bench_scene_graph, batch_size=16)
+    v = _try("scene-graph bs=16", 90, bench_scene_graph, batch_size=16,
+             clear_first=True)
     if v is not None:
         RESULT["scene_graph_pairs_per_sec"] = round(v, 2)
 
@@ -416,7 +445,8 @@ def main():
                           (50, "swin-3", 80)):
         res = _try(f"aligner n={n} {graph}", est,
                    bench_aligner_iters_per_sec, n_imgs=n, graph=graph,
-                   dtypes=("bf16",), mesh=aligner_mesh)
+                   dtypes=("bf16",), mesh=aligner_mesh,
+                   clear_first=(n == 10))
         if res:
             key = f"aligner_iters_per_sec_n{n}"
             if aligner_mesh:
@@ -441,8 +471,11 @@ def main():
         RESULT["model_gflop_per_pair"] = round(
             pair_forward_flops(384, 512, "dpt") / 1e9, 1)
         for bh, bw in ((336, 512), (288, 512), (256, 512), (160, 512)):
+            # each bucket is a fresh shape (no executable reuse), so
+            # dropping the previous bucket's program is pure memory win
             pps = _try(f"bucket {bw}x{bh}", 110, bench_pairs_per_sec,
-                       batch_size=good_bs, H=bh, W=bw, iters=10)
+                       batch_size=good_bs, H=bh, W=bw, iters=10,
+                       clear_first=True)
             if pps is not None:
                 buckets[f"{bw}x{bh}"] = round(pps, 2)
                 mfu[f"{bw}x{bh}"] = round(mfu_pct(pps, bh, bw, "dpt"), 1)

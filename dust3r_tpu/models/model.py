@@ -95,6 +95,10 @@ class AsymmetricCroCo3DStereo(nn.Module):
     remat: bool = False  # rematerialize block activations in the backward
     # pass (jax.checkpoint): trades ~30% more FLOPs for O(depth) less
     # activation memory - needed for large-batch training on 16GB HBM
+    remat_policy: str = "full"  # 'full' recomputes everything (max memory
+    # saving); 'dots' saves MXU matmul outputs and recomputes only the
+    # cheap VPU work (less recompute, more memory) - a middle point
+    # between remat=False and full remat for configs that fit
     quant: bool = False  # int8 transformer gemms (INFERENCE ONLY): use
     # ops/quant.quantize_for_inference(model, params) to build the pair;
     # heads/attention cores/LNs stay at the parity precision policy
@@ -122,9 +126,18 @@ class AsymmetricCroCo3DStereo(nn.Module):
                     self.rope_base, self.dtype, self.attn_impl, self.quant)
         dec_args = (self.dec_embed_dim, self.dec_num_heads, self.mlp_ratio,
                     self.rope_base, self.dtype, self.attn_impl, self.quant)
+        remat_kw = {}
+        if self.remat and self.remat_policy != "full":
+            import jax
+
+            remat_kw["policy"] = {
+                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }[self.remat_policy]
         if self.scan_layers:
-            enc_body = nn.remat(_EncScanBody) if self.remat else _EncScanBody
-            dec_body = nn.remat(_DecScanBody) if self.remat else _DecScanBody
+            enc_body = (nn.remat(_EncScanBody, **remat_kw) if self.remat
+                        else _EncScanBody)
+            dec_body = (nn.remat(_DecScanBody, **remat_kw) if self.remat
+                        else _DecScanBody)
             self.enc_scan = nn.scan(
                 enc_body, variable_axes={"params": 0},
                 split_rngs={"params": True}, length=self.enc_depth,
@@ -134,8 +147,10 @@ class AsymmetricCroCo3DStereo(nn.Module):
                 split_rngs={"params": True}, length=self.dec_depth,
             )(*dec_args, name="dec_blocks_scan")
         else:
-            BlockCls = nn.remat(Block) if self.remat else Block
-            DecCls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
+            BlockCls = (nn.remat(Block, **remat_kw) if self.remat
+                        else Block)
+            DecCls = (nn.remat(DecoderBlock, **remat_kw) if self.remat
+                      else DecoderBlock)
             self.enc_blocks = [
                 BlockCls(*enc_args, name=f"enc_blocks_{i}")
                 for i in range(self.enc_depth)]

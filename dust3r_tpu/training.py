@@ -452,7 +452,7 @@ def build_criterion(criterion_str):
 
 
 def build_model(model_str, dtype=None, attn_impl=None, scan_layers=None,
-                remat=None):
+                remat=None, remat_policy=None):
     """Evaluate the model DSL string into a flax module definition."""
     from .checkpoint import model_from_arch_string
 
@@ -465,6 +465,8 @@ def build_model(model_str, dtype=None, attn_impl=None, scan_layers=None,
         overrides["scan_layers"] = scan_layers
     if remat is not None:
         overrides["remat"] = remat
+    if remat_policy is not None:
+        overrides["remat_policy"] = remat_policy
     return model_from_arch_string(model_str, landscape_only=True, **overrides)
 
 
@@ -532,10 +534,13 @@ def train(args):
 
     print(f"Loading model: {args.model}")
     dtype = jnp.bfloat16 if args.amp else jnp.float32
+    remat_policy = getattr(args, "remat_policy", "full")
     model = build_model(args.model, dtype=dtype,
                         scan_layers=bool(getattr(args, "scan_layers", 0))
                         or None,
-                        remat=bool(getattr(args, "remat", 0)) or None)
+                        remat=bool(getattr(args, "remat", 0)) or None,
+                        remat_policy=None if remat_policy == "full"
+                        else remat_policy)
     train_criterion = build_criterion(args.train_criterion)
     test_criterion = build_criterion(args.test_criterion
                                      or args.train_criterion)

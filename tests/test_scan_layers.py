@@ -76,10 +76,17 @@ def test_remat_matches_plain():
     _assert_grads_close(g_r, g_p)
 
 
-def test_remat_scan_combo():
-    """remat composes with scan_layers (the large-batch training config)."""
+import pytest
+
+
+@pytest.mark.parametrize("remat_policy", ["full", "dots"])
+def test_remat_scan_combo(remat_policy):
+    """remat composes with scan_layers (the large-batch training config);
+    both checkpoint policies ('full' recompute and 'dots' = save MXU
+    matmul outputs) must be numerically identical to no-remat."""
     plain = AsymmetricCroCo3DStereo(scan_layers=True, **TINY)
-    remat = AsymmetricCroCo3DStereo(scan_layers=True, remat=True, **TINY)
+    remat = AsymmetricCroCo3DStereo(scan_layers=True, remat=True,
+                                    remat_policy=remat_policy, **TINY)
     img = jax.random.normal(jax.random.PRNGKey(9), (1, 32, 32, 3))
     params = plain.init(jax.random.PRNGKey(10), img, img)
 

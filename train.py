@@ -38,6 +38,12 @@ def get_args_parser():
     parser.add_argument("--remat", type=int, default=0, choices=[0, 1],
                         help="rematerialize block activations in the backward"
                              " pass (fits B=16@224 on a 16G chip)")
+    parser.add_argument("--remat_policy", type=str, default="full",
+                        choices=["full", "dots"],
+                        help="checkpoint policy under --remat 1: 'full' "
+                             "recomputes everything; 'dots' saves MXU matmul "
+                             "outputs and recomputes only VPU work (faster "
+                             "when the config still fits HBM)")
     parser.add_argument("--num_workers", default=8, type=int)
     parser.add_argument("--mesh", default="", type=str,
                         help="device mesh 'data[,fsdp[,model]]' (e.g. '8', "
