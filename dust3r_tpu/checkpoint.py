@@ -109,6 +109,46 @@ def model_from_arch_string(arch, landscape_only=False, **overrides):
     return AsymmetricCroCo3DStereo(**kwargs)
 
 
+def model_from_hub_config(cfg, landscape_only=False, **overrides):
+    """Build the model from a PyTorchModelHubMixin ``config.json`` dict.
+
+    The reference class is a hub mixin (dust3r/model.py:47-52): its repos
+    serialize the ``__init__`` kwargs (output_mode/head_type/depth_mode/
+    conf_mode/landscape_only/patch_embed_cls + the croco kwargs) to
+    config.json. Torch-only keys (freeze, patch_embed_cls, ...) are
+    dropped; JSON-mangled infinities in depth/conf modes are restored.
+    """
+    import dataclasses
+
+    from .models.model import AsymmetricCroCo3DStereo
+
+    cfg = dict(cfg)
+    # some mixin versions keep the croco kwargs grouped under one key
+    nested = cfg.pop("croco_kwargs", None)
+    if isinstance(nested, dict):
+        cfg.update(nested)
+    fields = {f.name for f in dataclasses.fields(AsymmetricCroCo3DStereo)
+              if f.name not in ("parent", "name", "dtype", "head_dtype")}
+
+    def fix_inf(x):
+        if isinstance(x, str) and x.lstrip("+-") in ("inf", "Infinity"):
+            return math.inf if not x.startswith("-") else -math.inf
+        return x
+
+    kwargs = {}
+    for k, v in cfg.items():
+        if k not in fields:
+            continue
+        if isinstance(v, (list, tuple)):
+            v = tuple(fix_inf(x) for x in v)
+        kwargs[k] = v
+    if isinstance(kwargs.get("img_size"), int):
+        kwargs["img_size"] = (kwargs["img_size"], kwargs["img_size"])
+    kwargs["landscape_only"] = landscape_only
+    kwargs.update(overrides)
+    return AsymmetricCroCo3DStereo(**kwargs)
+
+
 # ---------------------------------------------------------------------- #
 # torch state-dict conversion
 # ---------------------------------------------------------------------- #
@@ -235,22 +275,40 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
     """
     sd = _TrackedDict({k: np.asarray(v) for k, v in sd.items()})
 
-    # duplicate single decoder into dec_blocks2 (reference model.py:91-98)
+    # duplicate single decoder into dec_blocks2 (reference model.py:91-98);
+    # read through dict.__getitem__ so this bookkeeping copy doesn't mark
+    # dec_blocks.* tensors as consumed — otherwise the verbose
+    # leftover-tensor audit can never flag an unconsumed decoder tensor
     if not any(k.startswith("dec_blocks2") for k in sd):
         for key in list(sd.keys()):
             if key.startswith("dec_blocks."):
-                sd[key.replace("dec_blocks.", "dec_blocks2.", 1)] = sd[key]
+                sd[key.replace("dec_blocks.", "dec_blocks2.", 1)] = \
+                    dict.__getitem__(sd, key)
 
     tree = {}
     skipped = []
 
+    def _merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                _merge(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = v
+
     def go(fn, *args):
+        # build into a scratch tree and merge only on success: a component
+        # with SOME tensors present and some missing must be skipped whole
+        # (allow_missing), not left as a silent half-checkpoint/half-init
+        # hybrid that the skip message claims was kept at init
+        scratch = {}
         try:
-            fn(sd, tree, *args)
+            fn(sd, scratch, *args)
         except KeyError:
             if not allow_missing:
                 raise
             skipped.append(args[0])
+            return
+        _merge(tree, scratch)
 
     go(_conv, "patch_embed.proj", ("patch_embed", "proj"))
     for i in range(enc_depth):
@@ -405,14 +463,17 @@ def save_torch_checkpoint(path, model, variables, extra=None):
     sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
     arch = (
         f"AsymmetricCroCo3DStereo(pos_embed={model.pos_embed!r}, "
-        f"img_size={tuple(model.img_size)}, head_type={model.head_type!r}, "
+        f"img_size={tuple(model.img_size)}, "
+        f"patch_size={model.patch_size}, "
+        f"head_type={model.head_type!r}, "
         f"output_mode={model.output_mode!r}, "
         f"depth_mode={tuple(model.depth_mode)}, "
         f"conf_mode={tuple(model.conf_mode) if model.conf_mode else None}, "
         f"enc_embed_dim={model.enc_embed_dim}, enc_depth={model.enc_depth}, "
         f"enc_num_heads={model.enc_num_heads}, "
         f"dec_embed_dim={model.dec_embed_dim}, dec_depth={model.dec_depth}, "
-        f"dec_num_heads={model.dec_num_heads})")
+        f"dec_num_heads={model.dec_num_heads}, "
+        f"mlp_ratio={model.mlp_ratio})")
     ckpt = dict(model=sd, args=Namespace(model=arch), **(extra or {}))
     torch.save(ckpt, path)
 
@@ -522,6 +583,51 @@ def load_torch_checkpoint(path, verbose=True, **overrides):
     return model, variables
 
 
+def load_hub_checkpoint(weights_path, config_path=None, verbose=True,
+                        **overrides):
+    """Load a hub-mixin snapshot -> (model, variables).
+
+    Mixin repos ship a BARE state dict (model.safetensors for
+    huggingface_hub >=0.22, pytorch_model.bin for older snapshots) with
+    the architecture in config.json — there is no {args, model} wrapper
+    like the release .pth files (reference dust3r/model.py:47-52,76-85).
+    A .bin that turns out to be a full reference checkpoint is delegated
+    to load_torch_checkpoint.
+    """
+    if weights_path.endswith(".safetensors"):
+        from safetensors import torch as st
+
+        sd = dict(st.load_file(weights_path))
+    else:
+        import torch
+
+        ckpt = torch.load(weights_path, map_location="cpu",
+                          weights_only=False)
+        if isinstance(ckpt, dict) and "model" in ckpt and (
+                "args" in ckpt or "arch" in ckpt):
+            return load_torch_checkpoint(weights_path, verbose=verbose,
+                                         **overrides)
+        sd = ckpt
+    # numpy lacks bf16: upcast any bf16 tensors through torch
+    import torch
+
+    sd = {k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+          for k, v in sd.items()}
+    assert config_path, \
+        "hub checkpoint has no architecture string; config.json required"
+    import json
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    if verbose:
+        print(f"instantiating from hub config: {config_path}")
+    model = model_from_hub_config(cfg, landscape_only=False, **overrides)
+    variables = convert_torch_state_dict(
+        sd, enc_depth=model.enc_depth, dec_depth=model.dec_depth,
+        head_type=model.head_type, verbose=verbose)
+    return model, variables
+
+
 def from_pretrained(name_or_path, verbose=True, **overrides):
     """HF-hub-compatible loader: local .pth, orbax dir, or hub id."""
     if os.path.isfile(name_or_path):
@@ -533,9 +639,19 @@ def from_pretrained(name_or_path, verbose=True, **overrides):
         model = model_from_arch_string(meta["arch"], landscape_only=False,
                                        **overrides)
         return model, state
-    # hub download (requires network)
+    # hub download (requires network): mixin layout is config.json +
+    # model.safetensors, with pytorch_model.bin as the legacy fallback
     from huggingface_hub import hf_hub_download
 
-    path = hf_hub_download(repo_id=name_or_path,
-                           filename="pytorch_model.bin")
-    return load_torch_checkpoint(path, verbose=verbose, **overrides)
+    try:
+        wpath = hf_hub_download(repo_id=name_or_path,
+                                filename="model.safetensors")
+    except Exception:
+        wpath = hf_hub_download(repo_id=name_or_path,
+                                filename="pytorch_model.bin")
+    try:
+        cpath = hf_hub_download(repo_id=name_or_path,
+                                filename="config.json")
+    except Exception:
+        cpath = None
+    return load_hub_checkpoint(wpath, cpath, verbose=verbose, **overrides)

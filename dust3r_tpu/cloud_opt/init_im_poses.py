@@ -226,7 +226,11 @@ def get_known_poses(scene):
 def get_known_focals(scene):
     if scene.has_im_poses:
         known_msk = np.asarray(scene.get_known_focal_mask())
-        focals = np.asarray(scene.get_focals()).reshape(-1)
+        # one focal per IMAGE: fx_and_fy scenes store (N, 2) — average the
+        # pair like the reference (init_im_poses.py:44 im_focals[i].mean());
+        # a flat reshape(-1) would misindex every image past the first
+        focals = np.asarray(scene.get_focals()).reshape(scene.n_imgs, -1)
+        focals = focals.mean(axis=1)
         return int(known_msk.sum()), known_msk, focals
     return 0, None, None
 

@@ -118,21 +118,41 @@ class PointCloudOptimizer(BasePCOptimizer):
         m[np.asarray(indices)] = 0.0
         self.masks[name] = jnp.asarray(m)
 
+    def _check_all_imgs_are_selected(self, msk):
+        """PointCloudOptimizer presets must cover EVERY image (reference
+        optimizer.py:63-64 'incomplete mask!'); partial presets are the
+        Modular variant's job."""
+        assert np.array_equal(np.asarray(self._get_msk_indices(msk)),
+                              np.arange(self.n_imgs)), "incomplete mask!"
+
+    @staticmethod
+    def _check_counts_match(idxs, values, what):
+        # beyond-reference guard: the reference zip()s silently, so fewer
+        # values than selected images freezes images it never set
+        assert len(values) == len(idxs), (
+            f"{len(values)} {what} given for {len(idxs)} selected images")
+
     def preset_pose(self, known_poses, pose_msk=None):
+        self._check_all_imgs_are_selected(pose_msk)
         idxs = self._get_msk_indices(pose_msk)
         known_poses = np.asarray(known_poses)
         if known_poses.ndim == 2:
             known_poses = known_poses[None]
+        self._check_counts_match(idxs, known_poses, "poses")
         for idx, pose in zip(idxs, known_poses):
             if self.verbose:
                 print(f" (setting pose #{idx} = {pose[:3, 3]})")
             self._set_pose("im_poses", idx, pose, force=True)
-        n_known = len(idxs)
-        self.norm_pw_scale = n_known <= 1
+        # all poses are known after a (complete) preset: absolute scale is
+        # pinned, pairwise-scale normalization off (reference
+        # optimizer.py:80-81 ends at norm_pw_scale = False)
+        self.norm_pw_scale = False
         self._freeze("im_poses", idxs)
 
     def preset_focal(self, known_focals, msk=None):
+        self._check_all_imgs_are_selected(msk)
         idxs = self._get_msk_indices(msk)
+        self._check_counts_match(idxs, known_focals, "focals")
         for idx, focal in zip(idxs, known_focals):
             if self.verbose:
                 print(f" (setting focal #{idx} = {focal})")
@@ -140,8 +160,10 @@ class PointCloudOptimizer(BasePCOptimizer):
         self._freeze("im_focals", idxs)
 
     def preset_principal_point(self, known_pp, msk=None):
+        self._check_all_imgs_are_selected(msk)
         idxs = self._get_msk_indices(msk)
         known_pp = np.asarray(known_pp).reshape(-1, 2)
+        self._check_counts_match(idxs, known_pp, "principal points")
         for idx, pp in zip(idxs, known_pp):
             if self.verbose:
                 print(f" (setting principal point #{idx} = {pp})")
@@ -334,15 +356,38 @@ class ModularPointCloudOptimizer(PointCloudOptimizer):
         self.preset_principal_point([K[:2, 2] for K in known_K], msk)
 
     def preset_pose(self, known_poses, pose_msk=None):
-        idxs = self._get_msk_indices(pose_msk)
+        """Partial presets allowed; only the images actually assigned a
+        pose are frozen (reference modular_optimizer.py:38-48 freezes
+        per-tensor inside the zip)."""
+        idxs = list(self._get_msk_indices(pose_msk))
         known_poses = np.asarray(known_poses)
         if known_poses.ndim == 2:
             known_poses = known_poses[None]
+        idxs = idxs[:len(known_poses)]
         for idx, pose in zip(idxs, known_poses):
             if self.verbose:
                 print(f" (setting pose #{idx} = {pose[:3, 3]})")
             self._set_pose("im_poses", idx, pose, force=True)
         self._freeze("im_poses", idxs)
+        # cumulative over every preset call (reference counts
+        # requires_grad=False over the whole ParameterList)
         n_known = int(self.n_imgs - np.asarray(
             self.masks["im_poses"]).any(axis=1).sum())
         self.norm_pw_scale = n_known <= 1
+
+    def preset_focal(self, known_focals, msk=None):
+        idxs = list(self._get_msk_indices(msk))[:len(known_focals)]
+        for idx, focal in zip(idxs, known_focals):
+            if self.verbose:
+                print(f" (setting focal #{idx} = {focal})")
+            self._set_focal(idx, focal, force=True)
+        self._freeze("im_focals", idxs)
+
+    def preset_principal_point(self, known_pp, msk=None):
+        known_pp = np.asarray(known_pp).reshape(-1, 2)
+        idxs = list(self._get_msk_indices(msk))[:len(known_pp)]
+        for idx, pp in zip(idxs, known_pp):
+            if self.verbose:
+                print(f" (setting principal point #{idx} = {pp})")
+            self._set_principal_point(idx, pp, force=True)
+        self._freeze("im_pp", idxs)

@@ -92,7 +92,10 @@ class PairViewer(BasePCOptimizer):
     def get_depthmaps(self, raw=False):
         return self.depth
 
-    def depth_to_pts3d(self, params=None):
+    def depth_to_pts3d(self, params=None, consts=None):
+        # signature matches BasePCOptimizer.depth_to_pts3d (base_opt.py):
+        # the base pts3d_fn fallback passes consts=...; PairViewer's
+        # geometry is fixed at construction so both args are unused
         import numpy as np
         K = self.get_intrinsics()
         out = np.zeros((self.n_imgs, self.max_area, 3), np.float32)

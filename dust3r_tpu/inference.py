@@ -266,8 +266,10 @@ def collate_inference_output(pairs, pred1, pred2, multiple_shapes,
         return out
 
     return dict(
-        view1=_collate_views([p[0] for p in pairs], multiple_shapes),
-        view2=_collate_views([p[1] for p in pairs], multiple_shapes),
+        view1=_collate_views([p[0] for p in pairs], multiple_shapes,
+                             numpy=numpy),
+        view2=_collate_views([p[1] for p in pairs], multiple_shapes,
+                             numpy=numpy),
         pred1=collate_preds(pred1),
         pred2=collate_preds(pred2),
     )

@@ -208,6 +208,117 @@ class TestReverseConversion:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestHubLoader:
+    """Hub-mixin snapshot loading (reference model.py:47-52,76-85): bare
+    state dict in model.safetensors / pytorch_model.bin + config.json
+    carrying the constructor kwargs — no {args, model} wrapper."""
+
+    CFG = dict(output_mode="pts3d", head_type="linear",
+               depth_mode=["exp", -float("inf"), float("inf")],
+               conf_mode=["exp", 1, float("inf")],
+               freeze="none", landscape_only=True,
+               patch_embed_cls="ManyAR_PatchEmbed",
+               img_size=[32, 32], pos_embed="RoPE100", mlp_ratio=4.0,
+               **{k: v for k, v in TINY.items()})
+
+    def _write_config(self, tmp_path):
+        import json
+        cpath = str(tmp_path / "config.json")
+        with open(cpath, "w") as f:
+            json.dump(self.CFG, f)  # writes -Infinity / Infinity literals
+        return cpath
+
+    def test_safetensors_snapshot(self, converted, tmp_path):
+        from safetensors.torch import save_file
+        from dust3r_tpu.checkpoint import load_hub_checkpoint
+        tmodel, jmodel, variables = converted
+        wpath = str(tmp_path / "model.safetensors")
+        save_file({k: v.contiguous() for k, v in
+                   tmodel.state_dict().items()}, wpath)
+        model, vars2 = load_hub_checkpoint(
+            wpath, self._write_config(tmp_path), verbose=False)
+        assert model.head_type == "linear"
+        assert model.enc_depth == TINY["enc_depth"]
+        assert model.depth_mode == ("exp", -np.inf, np.inf)
+        assert model.landscape_only is False  # forced off for inference
+        for a, b in zip(jax.tree.leaves(vars2), jax.tree.leaves(variables)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_legacy_bin_snapshot(self, converted, tmp_path):
+        from dust3r_tpu.checkpoint import load_hub_checkpoint
+        tmodel, jmodel, variables = converted
+        wpath = str(tmp_path / "pytorch_model.bin")
+        torch.save(tmodel.state_dict(), wpath)
+        model, vars2 = load_hub_checkpoint(
+            wpath, self._write_config(tmp_path), verbose=False)
+        assert model.enc_embed_dim == TINY["enc_embed_dim"]
+        for a, b in zip(jax.tree.leaves(vars2), jax.tree.leaves(variables)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bin_full_checkpoint_delegates(self, converted, tmp_path):
+        """A .bin that is really a full reference checkpoint (args+model)
+        must go through the arch-string path, config.json not needed."""
+        from dust3r_tpu.checkpoint import (load_hub_checkpoint,
+                                           save_torch_checkpoint)
+        tmodel, jmodel, variables = converted
+        wpath = str(tmp_path / "pytorch_model.bin")
+        save_torch_checkpoint(wpath, jmodel, variables)
+        model, vars2 = load_hub_checkpoint(wpath, None, verbose=False)
+        assert model.head_type == "linear"
+
+    def test_hub_config_string_inf_and_nested_kwargs(self):
+        """Defensive parsing: string 'inf' forms and croco_kwargs nesting."""
+        from dust3r_tpu.checkpoint import model_from_hub_config
+        cfg = dict(output_mode="pts3d", head_type="dpt",
+                   depth_mode=["exp", "-inf", "inf"],
+                   conf_mode=None, patch_embed_cls="PatchEmbedDust3R",
+                   croco_kwargs=dict(img_size=224, **TINY))
+        model = model_from_hub_config(cfg)
+        assert model.head_type == "dpt"
+        assert model.img_size == (224, 224)
+        assert model.depth_mode == ("exp", -np.inf, np.inf)
+        assert model.conf_mode is None
+
+
+class TestAllowMissingWholeComponent:
+    def test_partial_block_skipped_whole(self, converted):
+        """allow_missing must skip a half-present component ENTIRELY: no
+        silent half-checkpoint/half-init hybrid (a block with qkv present
+        but mlp.fc2 missing contributes nothing to the tree)."""
+        tmodel, jmodel, _ = converted
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()
+              if k != "enc_blocks.1.mlp.fc2.weight"}
+        tree = convert_torch_state_dict(sd, enc_depth=2, dec_depth=2,
+                                        head_type="linear",
+                                        allow_missing=True, verbose=False)
+        params = tree["params"]
+        assert "enc_blocks_1" not in params  # whole block left at init
+        assert "enc_blocks_0" in params      # intact blocks still convert
+
+
+class TestArchRoundTripNonDefaults:
+    def test_patch_size_and_mlp_ratio_persist(self, tmp_path):
+        """save_torch_checkpoint must record patch_size and mlp_ratio so
+        non-default models round-trip (reference persists the full ctor
+        string in args.model)."""
+        from dust3r_tpu.checkpoint import (save_torch_checkpoint,
+                                           load_torch_checkpoint)
+        cfg = dict(TINY, patch_size=8)
+        jmodel = AsymmetricCroCo3DStereo(
+            img_size=(32, 32), head_type="linear", attn_impl="ref",
+            mlp_ratio=2.0, **cfg)
+        variables = jmodel.init(jax.random.PRNGKey(0),
+                                jnp.ones((1, 32, 32, 3)),
+                                jnp.ones((1, 32, 32, 3)))
+        p = str(tmp_path / "nondefault.pth")
+        save_torch_checkpoint(p, jmodel, variables)
+        model2, vars2 = load_torch_checkpoint(p, verbose=False)
+        assert model2.patch_size == 8
+        assert model2.mlp_ratio == 2.0
+        for a, b in zip(jax.tree.leaves(vars2), jax.tree.leaves(variables)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestOrbax:
     def test_save_load_roundtrip(self, tmp_path):
         state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},

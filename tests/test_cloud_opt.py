@@ -172,6 +172,113 @@ class TestPresets:
             np.testing.assert_allclose(np.asarray(e), d, rtol=0.15)
 
 
+class TestPresetSemantics:
+    """Reference preset contracts (reference cloud_opt/optimizer.py:63-95
+    vs modular_optimizer.py:38-69): the dense optimizer requires presets
+    to cover EVERY image; the Modular variant allows partial presets and
+    freezes only what it actually set."""
+
+    def test_incomplete_mask_raises(self):
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False)
+        with pytest.raises(AssertionError, match="incomplete mask"):
+            scene.preset_pose([poses[0]], pose_msk=[0])
+        with pytest.raises(AssertionError, match="incomplete mask"):
+            scene.preset_focal([focal], msk=[1])
+
+    def test_count_mismatch_raises(self):
+        """Fewer values than selected images must raise, not silently
+        freeze images it never set (beyond-reference guard; the reference
+        zip()s silently)."""
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False)
+        with pytest.raises(AssertionError, match="focals"):
+            scene.preset_focal([focal])  # msk=None selects all 3 images
+        with pytest.raises(AssertionError, match="poses"):
+            scene.preset_pose([poses[0], poses[1]])
+
+    def test_norm_pw_scale_off_after_complete_preset(self):
+        """A complete preset_pose pins absolute scale: norm_pw_scale ends
+        False (reference optimizer.py:80-81)."""
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                               verbose=False)
+        assert scene.norm_pw_scale is True
+        scene.preset_pose([poses[0], poses[1], poses[2]])
+        assert scene.norm_pw_scale is False
+
+    def test_modular_partial_preset_freezes_only_assigned(self):
+        from dust3r_tpu.cloud_opt import ModularPointCloudOptimizer
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = ModularPointCloudOptimizer(
+            out["view1"], out["view2"], out["pred1"], out["pred2"],
+            verbose=False)
+        scene.preset_pose([poses[0]])  # only image 0 gets a pose
+        m = np.asarray(scene.masks["im_poses"])
+        assert not m[0].any()          # frozen
+        assert m[1].all() and m[2].all()  # still optimizable
+        assert scene.norm_pw_scale is True  # 1 known pose: scale still free
+        scene.preset_pose([poses[1]], pose_msk=[1])
+        m = np.asarray(scene.masks["im_poses"])
+        assert not m[0].any() and not m[1].any() and m[2].all()
+        assert scene.norm_pw_scale is False  # cumulative count is 2
+
+    def test_modular_partial_focal_preset(self):
+        from dust3r_tpu.cloud_opt import ModularPointCloudOptimizer
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = ModularPointCloudOptimizer(
+            out["view1"], out["view2"], out["pred1"], out["pred2"],
+            verbose=False)
+        scene.preset_focal([focal])  # partial: image 0 only
+        m = np.asarray(scene.masks["im_focals"])
+        assert not m[0].any()
+        assert m[1].all() and m[2].all()
+        np.testing.assert_allclose(
+            np.asarray(scene.get_focals()).reshape(-1)[0], focal, rtol=1e-5)
+
+    def test_known_focals_fx_and_fy_per_image(self):
+        """get_known_focals must return ONE focal per image — the fx/fy
+        mean under fx_and_fy=True (reference init_im_poses.py:44
+        im_focals[i].mean()), not a flat 2N vector."""
+        from dust3r_tpu.cloud_opt import ModularPointCloudOptimizer
+        from dust3r_tpu.cloud_opt.init_im_poses import get_known_focals
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = ModularPointCloudOptimizer(
+            out["view1"], out["view2"], out["pred1"], out["pred2"],
+            fx_and_fy=True, verbose=False)
+        K = np.eye(3, dtype=np.float32)
+        K[0, 0], K[1, 1] = 42.0, 37.0
+        K[0, 2], K[1, 2] = 16.0, 12.0
+        scene.preset_intrinsics([K] * 3)
+        n_known, msk, focals = get_known_focals(scene)
+        assert n_known == 3
+        assert focals.shape == (3,)
+        np.testing.assert_allclose(focals, 39.5, rtol=1e-5)  # (42+37)/2
+
+    def test_modular_known_poses_init_fx_and_fy(self):
+        """End-to-end: init='known_poses' on an fx_and_fy Modular scene —
+        the path that previously misindexed focals past image 0."""
+        from dust3r_tpu.cloud_opt import ModularPointCloudOptimizer
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = ModularPointCloudOptimizer(
+            out["view1"], out["view2"], out["pred1"], out["pred2"],
+            fx_and_fy=True, verbose=False)
+        H, W = np.asarray(scene.imshapes[0])
+        K = np.eye(3, dtype=np.float32)
+        K[0, 0] = K[1, 1] = focal
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        scene.preset_pose(list(poses))
+        scene.preset_intrinsics([K] * 3)
+        loss = scene.compute_global_alignment(init="known_poses", niter=50,
+                                              lr=0.01)
+        assert np.isfinite(loss) and loss < 0.05
+        est = np.asarray(scene.get_im_poses())
+        for k in range(3):
+            np.testing.assert_allclose(est[k], poses[k], atol=1e-4)
+
+
 class TestPairViewer:
     def test_two_image_scene(self):
         out, poses, depths, focal = make_synthetic_scene(n_imgs=2)

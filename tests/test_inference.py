@@ -114,6 +114,24 @@ class TestEngine:
         assert out["pred1"]["pts3d"][0].shape == (32, 48, 3)
         assert out["pred2"]["pts3d_in_other_view"][1].shape == (48, 32, 3)
 
+    def test_mixed_shape_to_device_keeps_view_imgs_on_device(self, setup):
+        """to_cpu=False must keep view images as device arrays in the
+        mixed-shape path too — the numpy flag has to reach _collate_views
+        (one host copy per image through the tunnel otherwise)."""
+        import jax
+        model, params, _ = setup
+        from dust3r_tpu.inference import InferenceEngine
+        engine = InferenceEngine(model, params, batch_size=2)
+        v_land = make_views(2, 32, 48, seed=1)
+        v_port = make_views(2, 48, 32, seed=2)
+        for v in v_land + v_port:  # device-resident inputs
+            v["img"] = jnp.asarray(v["img"])
+        pairs = [(v_land[0], v_land[1]), (v_port[0], v_port[1])]
+        out = engine.infer_pairs(pairs, to_cpu=False)
+        for v in (out["view1"], out["view2"]):
+            assert all(isinstance(im, jax.Array) for im in v["img"])
+        assert all(isinstance(p, jax.Array) for p in out["pred1"]["pts3d"])
+
 
 class TestOptScaling:
     def test_recovers_scale(self):
