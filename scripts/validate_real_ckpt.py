@@ -9,6 +9,12 @@ one-command operation the moment any published .pth is available
     python scripts/validate_real_ckpt.py DUSt3R_ViTLarge_BaseDecoder_512_dpt.pth \
         [--ref-outputs ref_outputs.npz] [--save-outputs jax_outputs.npz]
 
+Accepted checkpoint forms (all layouts the weights are published in):
+  - release .pth with the {args, model} wrapper (naver download page)
+  - HF hub-mixin snapshot: model.safetensors (or bare pytorch_model.bin)
+    with config.json beside it (reference dust3r/model.py:47-52) — pass
+    either the file or the snapshot DIRECTORY
+
 What it checks:
   1. NAME COVERAGE - every checkpoint tensor is either consumed by the
      converter or on the known-ignorable list (mask_token, rope buffers).
@@ -61,11 +67,45 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from dust3r_tpu.checkpoint import (model_from_arch_string,
+                                       model_from_hub_config,
                                        convert_torch_state_dict,
                                        to_torch_state_dict)
 
-    ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
-    sd = {k: np.asarray(v) for k, v in ckpt["model"].items()}
+    # resolve a hub snapshot directory to its weights file
+    import os
+    ckpt_path, config_path = args.ckpt, None
+    if os.path.isdir(ckpt_path):
+        d = ckpt_path
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            if os.path.isfile(os.path.join(d, name)):
+                ckpt_path = os.path.join(d, name)
+                break
+        if os.path.isfile(os.path.join(d, "config.json")):
+            config_path = os.path.join(d, "config.json")
+    elif os.path.isfile(os.path.join(os.path.dirname(ckpt_path),
+                                     "config.json")):
+        config_path = os.path.join(os.path.dirname(ckpt_path), "config.json")
+
+    arch = hub_cfg = None
+    if ckpt_path.endswith(".safetensors"):
+        from safetensors import torch as st
+
+        sd = {k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+              for k, v in st.load_file(ckpt_path).items()}
+    else:
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        if isinstance(ckpt, dict) and "model" in ckpt and "args" in ckpt:
+            sd = {k: np.asarray(v) for k, v in ckpt["model"].items()}
+            arch = getattr(ckpt.get("args", None), "model", None)
+        else:  # bare hub-mixin state dict
+            sd = {k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+                  for k, v in ckpt.items()}
+    if arch is None and config_path:
+        import json
+
+        with open(config_path) as f:
+            hub_cfg = json.load(f)
+        print(f"architecture from hub config: {config_path}")
     # canonicalize the DPT scratch-projection naming: both the attr form
     # (scratch.layer{k}_rn) and the ModuleList form (scratch.layer_rn.{k-1})
     # appear in the wild; the converter accepts either but the exporter
@@ -75,16 +115,19 @@ def main():
             if f"scratch.layer_rn.{idx}" in key:
                 sd[key.replace(f"scratch.layer_rn.{idx}",
                                f"scratch.layer{idx + 1}_rn")] = sd.pop(key)
-    arch = getattr(ckpt.get("args", None), "model", None)
-    if arch is None:
+    if arch is not None:
+        print(f"arch: {arch}")
+        model = model_from_arch_string(arch, landscape_only=False)
+    elif hub_cfg is not None:
+        model = model_from_hub_config(hub_cfg, landscape_only=False)
+    else:
         arch = ("AsymmetricCroCo3DStereo(pos_embed='RoPE100', "
                 "img_size=(512, 512), head_type='dpt', output_mode='pts3d', "
                 "depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf), "
                 "enc_embed_dim=1024, enc_depth=24, enc_num_heads=16, "
                 "dec_embed_dim=768, dec_depth=12, dec_num_heads=12)")
-        print(f"[warn] no arch string in checkpoint, assuming 512_dpt")
-    print(f"arch: {arch}")
-    model = model_from_arch_string(arch, landscape_only=False)
+        print(f"[warn] no arch string or config.json, assuming 512_dpt")
+        model = model_from_arch_string(arch, landscape_only=False)
 
     # ---- 1. name coverage ------------------------------------------------
     # duplicate-single-decoder exactly like reference model.py:91-98
