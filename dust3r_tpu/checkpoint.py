@@ -271,7 +271,10 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
     raising - the training --pretrained path uses this to warm-start from a
     backbone-only checkpoint (e.g. CroCo-V2, which has no downstream heads;
     the reference loads those with strict=False via croco's load_model,
-    reference dust3r/training.py:145-151).
+    reference dust3r/training.py:145-151). Deliberately STRICTER than the
+    reference's per-tensor strict=False: a component with some tensors
+    present and some missing is skipped WHOLE (and reported with the
+    missing key) rather than silently loaded half-checkpoint/half-init.
     """
     sd = _TrackedDict({k: np.asarray(v) for k, v in sd.items()})
 
@@ -303,10 +306,10 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
         scratch = {}
         try:
             fn(sd, scratch, *args)
-        except KeyError:
+        except KeyError as e:
             if not allow_missing:
                 raise
-            skipped.append(args[0])
+            skipped.append((args[0], e.args[0] if e.args else "?"))
             return
         _merge(tree, scratch)
 
@@ -328,8 +331,9 @@ def convert_torch_state_dict(sd, enc_depth=24, dec_depth=12,
         else:
             go(_dpt_head, t, f)
     if verbose and skipped:
-        print(f"converter: {len(skipped)} components not in checkpoint, "
-              f"kept at init: {skipped[:6]}"
+        shown = [f"{c} (missing {k})" for c, k in skipped[:6]]
+        print(f"converter: {len(skipped)} components incomplete in "
+              f"checkpoint, kept WHOLE at init: {shown}"
               + (" ..." if len(skipped) > 6 else ""))
 
     if verbose:
@@ -561,6 +565,34 @@ def unstack_scan_params(variables, enc_depth, dec_depth):
     return {"params": params}
 
 
+def _sd_to_numpy(sd):
+    """torch state dict -> numpy arrays; bf16 tensors (which numpy cannot
+    represent) are upcast through fp32 via torch."""
+    import torch
+
+    out = {}
+    for k, v in sd.items():
+        if isinstance(v, torch.Tensor):
+            v = (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _load_wrapped_ckpt(ckpt, verbose=True, **overrides):
+    """Already-torch.load-ed {args/arch, model} checkpoint -> (model, vars)."""
+    arch = ckpt["args"].model if hasattr(ckpt.get("args", None), "model") \
+        else ckpt.get("arch")
+    assert arch, "checkpoint missing architecture string"
+    if verbose:
+        print(f"instantiating from arch string: {arch}")
+    model = model_from_arch_string(arch, landscape_only=False, **overrides)
+    sd = _sd_to_numpy(ckpt["model"])
+    variables = convert_torch_state_dict(
+        sd, enc_depth=model.enc_depth, dec_depth=model.dec_depth,
+        head_type=model.head_type, verbose=verbose)
+    return model, variables
+
+
 def load_torch_checkpoint(path, verbose=True, **overrides):
     """Load a reference .pth checkpoint -> (model, variables).
 
@@ -570,17 +602,7 @@ def load_torch_checkpoint(path, verbose=True, **overrides):
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    arch = ckpt["args"].model if hasattr(ckpt.get("args", None), "model") \
-        else ckpt.get("arch")
-    assert arch, "checkpoint missing architecture string"
-    if verbose:
-        print(f"instantiating from arch string: {arch}")
-    model = model_from_arch_string(arch, landscape_only=False, **overrides)
-    sd = {k: v.numpy() for k, v in ckpt["model"].items()}
-    variables = convert_torch_state_dict(
-        sd, enc_depth=model.enc_depth, dec_depth=model.dec_depth,
-        head_type=model.head_type, verbose=verbose)
-    return model, variables
+    return _load_wrapped_ckpt(ckpt, verbose=verbose, **overrides)
 
 
 def load_hub_checkpoint(weights_path, config_path=None, verbose=True,
@@ -591,8 +613,10 @@ def load_hub_checkpoint(weights_path, config_path=None, verbose=True,
     huggingface_hub >=0.22, pytorch_model.bin for older snapshots) with
     the architecture in config.json — there is no {args, model} wrapper
     like the release .pth files (reference dust3r/model.py:47-52,76-85).
-    A .bin that turns out to be a full reference checkpoint is delegated
-    to load_torch_checkpoint.
+    A .bin that turns out to be a full reference checkpoint is handled
+    through the arch-string path (loaded once, not re-read); a
+    training-style {model: sd, ...} wrapper without an arch string gets
+    its inner state dict with the architecture from config.json.
     """
     if weights_path.endswith(".safetensors"):
         from safetensors import torch as st
@@ -605,14 +629,12 @@ def load_hub_checkpoint(weights_path, config_path=None, verbose=True,
                           weights_only=False)
         if isinstance(ckpt, dict) and "model" in ckpt and (
                 "args" in ckpt or "arch" in ckpt):
-            return load_torch_checkpoint(weights_path, verbose=verbose,
-                                         **overrides)
-        sd = ckpt
-    # numpy lacks bf16: upcast any bf16 tensors through torch
-    import torch
-
-    sd = {k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
-          for k, v in sd.items()}
+            return _load_wrapped_ckpt(ckpt, verbose=verbose, **overrides)
+        if isinstance(ckpt, dict) and isinstance(ckpt.get("model"), dict):
+            sd = ckpt["model"]  # {model, optimizer, epoch, ...} wrapper
+        else:
+            sd = ckpt
+    sd = _sd_to_numpy(sd)
     assert config_path, \
         "hub checkpoint has no architecture string; config.json required"
     import json
@@ -628,12 +650,36 @@ def load_hub_checkpoint(weights_path, config_path=None, verbose=True,
     return model, variables
 
 
+_HUB_WEIGHT_NAMES = ("model.safetensors", "pytorch_model.bin")
+
+
+def _sibling_config(path):
+    cpath = os.path.join(os.path.dirname(os.path.abspath(path)),
+                         "config.json")
+    return cpath if os.path.isfile(cpath) else None
+
+
 def from_pretrained(name_or_path, verbose=True, **overrides):
-    """HF-hub-compatible loader: local .pth, orbax dir, or hub id."""
+    """HF-hub-compatible loader: local .pth / hub snapshot (file or
+    directory) / orbax dir, or a hub repo id (requires network)."""
     if os.path.isfile(name_or_path):
+        # hub-layout files route through the mixin loader; config.json is
+        # only sniffed next to recognizably hub-named weights so an
+        # unrelated neighbor can't silently define the architecture
+        if name_or_path.endswith(".safetensors") or \
+                os.path.basename(name_or_path) in _HUB_WEIGHT_NAMES:
+            return load_hub_checkpoint(name_or_path,
+                                       _sibling_config(name_or_path),
+                                       verbose=verbose, **overrides)
         return load_torch_checkpoint(name_or_path, verbose=verbose,
                                      **overrides)
     if os.path.isdir(name_or_path):
+        # hub snapshot directory (snapshot_download layout)
+        for name in _HUB_WEIGHT_NAMES:
+            wpath = os.path.join(name_or_path, name)
+            if os.path.isfile(wpath):
+                return load_hub_checkpoint(wpath, _sibling_config(wpath),
+                                           verbose=verbose, **overrides)
         state, meta = load_checkpoint(name_or_path)
         assert meta and "arch" in meta, "orbax checkpoint missing metadata"
         model = model_from_arch_string(meta["arch"], landscape_only=False,
@@ -642,16 +688,17 @@ def from_pretrained(name_or_path, verbose=True, **overrides):
     # hub download (requires network): mixin layout is config.json +
     # model.safetensors, with pytorch_model.bin as the legacy fallback
     from huggingface_hub import hf_hub_download
+    from huggingface_hub.utils import EntryNotFoundError
 
     try:
         wpath = hf_hub_download(repo_id=name_or_path,
                                 filename="model.safetensors")
-    except Exception:
+    except EntryNotFoundError:
         wpath = hf_hub_download(repo_id=name_or_path,
                                 filename="pytorch_model.bin")
     try:
         cpath = hf_hub_download(repo_id=name_or_path,
                                 filename="config.json")
-    except Exception:
+    except EntryNotFoundError:
         cpath = None
     return load_hub_checkpoint(wpath, cpath, verbose=verbose, **overrides)

@@ -115,7 +115,9 @@ class PointCloudOptimizer(BasePCOptimizer):
 
     def _freeze(self, name, indices):
         m = np.array(self.masks[name])
-        m[np.asarray(indices)] = 0.0
+        # dtype pinned so an EMPTY preset (Modular no-op, matching the
+        # reference's silent zip) indexes as int, not float64
+        m[np.asarray(indices, dtype=np.int64)] = 0.0
         self.masks[name] = jnp.asarray(m)
 
     def _check_all_imgs_are_selected(self, msk):

@@ -73,33 +73,43 @@ def main():
 
     # resolve a hub snapshot directory to its weights file
     import os
+    from dust3r_tpu.checkpoint import _sd_to_numpy
+
+    HUB_NAMES = ("model.safetensors", "pytorch_model.bin")
     ckpt_path, config_path = args.ckpt, None
     if os.path.isdir(ckpt_path):
         d = ckpt_path
-        for name in ("model.safetensors", "pytorch_model.bin"):
+        for name in HUB_NAMES:
             if os.path.isfile(os.path.join(d, name)):
                 ckpt_path = os.path.join(d, name)
                 break
         if os.path.isfile(os.path.join(d, "config.json")):
             config_path = os.path.join(d, "config.json")
-    elif os.path.isfile(os.path.join(os.path.dirname(ckpt_path),
-                                     "config.json")):
-        config_path = os.path.join(os.path.dirname(ckpt_path), "config.json")
+    elif (ckpt_path.endswith(".safetensors")
+          or os.path.basename(ckpt_path) in HUB_NAMES):
+        # only sniff a sibling config.json next to hub-named weights: an
+        # unrelated config.json must not silently define the architecture
+        sib = os.path.join(os.path.dirname(os.path.abspath(ckpt_path)),
+                           "config.json")
+        if os.path.isfile(sib):
+            config_path = sib
 
     arch = hub_cfg = None
     if ckpt_path.endswith(".safetensors"):
         from safetensors import torch as st
 
-        sd = {k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
-              for k, v in st.load_file(ckpt_path).items()}
+        sd = _sd_to_numpy(st.load_file(ckpt_path))
     else:
         ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-        if isinstance(ckpt, dict) and "model" in ckpt and "args" in ckpt:
-            sd = {k: np.asarray(v) for k, v in ckpt["model"].items()}
-            arch = getattr(ckpt.get("args", None), "model", None)
+        if isinstance(ckpt, dict) and "model" in ckpt and (
+                "args" in ckpt or "arch" in ckpt):
+            sd = _sd_to_numpy(ckpt["model"])
+            arch = getattr(ckpt.get("args", None), "model", None) \
+                or ckpt.get("arch")
+        elif isinstance(ckpt, dict) and isinstance(ckpt.get("model"), dict):
+            sd = _sd_to_numpy(ckpt["model"])  # training-style wrapper
         else:  # bare hub-mixin state dict
-            sd = {k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
-                  for k, v in ckpt.items()}
+            sd = _sd_to_numpy(ckpt)
     if arch is None and config_path:
         import json
 

@@ -266,6 +266,88 @@ class TestHubLoader:
         model, vars2 = load_hub_checkpoint(wpath, None, verbose=False)
         assert model.head_type == "linear"
 
+    def test_from_pretrained_local_snapshot_dir(self, converted, tmp_path):
+        """from_pretrained must route a LOCAL hub snapshot directory
+        (snapshot_download layout) through the mixin loader, not orbax."""
+        from safetensors.torch import save_file
+        from dust3r_tpu.checkpoint import from_pretrained
+        tmodel, jmodel, variables = converted
+        save_file({k: v.contiguous() for k, v in
+                   tmodel.state_dict().items()},
+                  str(tmp_path / "model.safetensors"))
+        self._write_config(tmp_path)
+        model, vars2 = from_pretrained(str(tmp_path), verbose=False)
+        assert model.enc_depth == TINY["enc_depth"]
+        for a, b in zip(jax.tree.leaves(vars2), jax.tree.leaves(variables)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_from_pretrained_local_safetensors_file(self, converted,
+                                                    tmp_path):
+        """...and a direct path to the .safetensors file, sniffing the
+        sibling config.json."""
+        from safetensors.torch import save_file
+        from dust3r_tpu.checkpoint import from_pretrained
+        tmodel, jmodel, variables = converted
+        wpath = str(tmp_path / "model.safetensors")
+        save_file({k: v.contiguous() for k, v in
+                   tmodel.state_dict().items()}, wpath)
+        self._write_config(tmp_path)
+        model, vars2 = from_pretrained(wpath, verbose=False)
+        assert model.head_type == "linear"
+
+    def test_from_pretrained_plain_pth_ignores_neighbor_config(
+            self, converted, tmp_path):
+        """A plain .pth next to an unrelated config.json must go through
+        the arch-string path (the neighbor must not define the arch)."""
+        from dust3r_tpu.checkpoint import (from_pretrained,
+                                           save_torch_checkpoint)
+        import json
+        tmodel, jmodel, variables = converted
+        p = str(tmp_path / "release.pth")
+        save_torch_checkpoint(p, jmodel, variables)
+        with open(tmp_path / "config.json", "w") as f:
+            json.dump({"head_type": "dpt", "unrelated": True}, f)
+        model, _ = from_pretrained(p, verbose=False)
+        assert model.head_type == "linear"  # from the arch string
+
+    def test_training_style_wrapper_without_arch(self, converted, tmp_path):
+        """{model, optimizer, epoch} wrappers (no args/arch) must unwrap
+        the inner state dict and take the architecture from config.json."""
+        from dust3r_tpu.checkpoint import load_hub_checkpoint
+        tmodel, jmodel, variables = converted
+        wpath = str(tmp_path / "pytorch_model.bin")
+        torch.save({"model": tmodel.state_dict(), "optimizer": {},
+                    "epoch": 7}, wpath)
+        model, vars2 = load_hub_checkpoint(
+            wpath, self._write_config(tmp_path), verbose=False)
+        for a, b in zip(jax.tree.leaves(vars2), jax.tree.leaves(variables)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bf16_tensors_upcast_everywhere(self, converted, tmp_path):
+        """bf16 tensors (numpy-unrepresentable) must load through BOTH the
+        bare-sd path and the wrapped {args, model} path."""
+        from dust3r_tpu.checkpoint import (load_hub_checkpoint,
+                                           load_torch_checkpoint,
+                                           save_torch_checkpoint)
+        tmodel, jmodel, variables = converted
+        sd_bf16 = {k: v.to(torch.bfloat16) for k, v in
+                   tmodel.state_dict().items()}
+        wpath = str(tmp_path / "pytorch_model.bin")
+        torch.save(sd_bf16, wpath)
+        model, vars2 = load_hub_checkpoint(
+            wpath, self._write_config(tmp_path), verbose=False)
+        leaf = jax.tree.leaves(vars2)[0]
+        assert np.isfinite(np.asarray(leaf)).all()
+        # wrapped path: reuse the saved arch string, swap in bf16 tensors
+        p2 = str(tmp_path / "release.pth")
+        save_torch_checkpoint(p2, jmodel, variables)
+        ckpt = torch.load(p2, weights_only=False)
+        ckpt["model"] = {k: v.to(torch.bfloat16)
+                         for k, v in ckpt["model"].items()}
+        torch.save(ckpt, p2)
+        model2, vars3 = load_torch_checkpoint(p2, verbose=False)
+        assert np.isfinite(np.asarray(jax.tree.leaves(vars3)[0])).all()
+
     def test_hub_config_string_inf_and_nested_kwargs(self):
         """Defensive parsing: string 'inf' forms and croco_kwargs nesting."""
         from dust3r_tpu.checkpoint import model_from_hub_config

@@ -238,6 +238,22 @@ class TestPresetSemantics:
         np.testing.assert_allclose(
             np.asarray(scene.get_focals()).reshape(-1)[0], focal, rtol=1e-5)
 
+    def test_modular_empty_preset_is_noop(self):
+        """Zero known values (e.g. preset_pose(poses[msk]) with an all-False
+        msk) must be a silent no-op like the reference's zip, not an
+        IndexError from float64 empty-array indexing in _freeze."""
+        from dust3r_tpu.cloud_opt import ModularPointCloudOptimizer
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=3)
+        scene = ModularPointCloudOptimizer(
+            out["view1"], out["view2"], out["pred1"], out["pred2"],
+            verbose=False)
+        scene.preset_pose(np.zeros((0, 4, 4)), pose_msk=[])
+        scene.preset_focal([])
+        scene.preset_principal_point(np.zeros((0, 2)))
+        assert np.asarray(scene.masks["im_poses"]).all()
+        assert np.asarray(scene.masks["im_focals"]).all()
+        assert scene.norm_pw_scale is True
+
     def test_known_focals_fx_and_fy_per_image(self):
         """get_known_focals must return ONE focal per image — the fx/fy
         mean under fx_and_fy=True (reference init_im_poses.py:44
