@@ -14,7 +14,7 @@ from .utils.geometry import xy_grid, masked_median
 FOCAL_BASE_TAN = 2 * np.tan(np.deg2rad(60) / 2)  # 60 deg FOV base
 
 
-def estimate_focal_knowing_depth(pts3d, pp, focal_mode="weiszfeld",
+def estimate_focal_knowing_depth(pts3d, pp, focal_mode="median",
                                  min_focal=0.0, max_focal=np.inf):
     """Estimate a single focal per image from a (B, H, W, 3) pointmap.
 
