@@ -249,6 +249,39 @@ def show_raw_pointcloud(pts3d, colors, point_size=2):
     viz.show(point_size=point_size)
 
 
+def cat(a, b):
+    """Concatenate two (H, W, C) maps along rows (reference viz.py:322)."""
+    return np.concatenate((np.asarray(a).reshape(-1, a.shape[-1]),
+                           np.asarray(b).reshape(-1, b.shape[-1])))
+
+
+def show_duster_pairs(view1, view2, pred1, pred2):
+    """Interactive per-pair debug viewer (reference viz.py:90-113): shows
+    each pair's images + confidence maps in matplotlib and optionally the
+    raw two-view pointcloud."""
+    import matplotlib.pyplot as pl
+    pl.ion()
+
+    for e in range(len(view1["instance"])):
+        i, j = view1["idx"][e], view2["idx"][e]
+        img1, img2 = rgb(view1["img"][e]), rgb(view2["img"][e])
+        conf1 = np.asarray(pred1["conf"][e]).squeeze()
+        conf2 = np.asarray(pred2["conf"][e]).squeeze()
+        score = conf1.mean() * conf2.mean()
+        print(f">> Showing pair #{e} {i}-{j} {score=:g}")
+        pl.clf()
+        pl.subplot(221).imshow(img1)
+        pl.subplot(223).imshow(img2)
+        pl.subplot(222).imshow(conf1, vmin=1, vmax=30)
+        pl.subplot(224).imshow(conf2, vmin=1, vmax=30)
+        pts1 = np.asarray(pred1["pts3d"][e])
+        pts2 = np.asarray(pred2["pts3d_in_other_view"][e])
+        pl.subplots_adjust(0, 0, 1, 1, 0, 0)
+        if input("show pointcloud? (y/n) ") == "y":
+            show_raw_pointcloud(cat(pts1, pts2), cat(img1, img2),
+                                point_size=5)
+
+
 def show_raw_pointcloud_with_cams(imgs, pts3d, mask, focals, cams2world,
                                   point_size=2, cam_size=0.05, cam_color=None):
     viz = SceneViz()

@@ -82,3 +82,28 @@ def test_lr_schedules():
     assert np.all(np.diff(lrs) <= 0)
     lrs = make_lr_schedule("linear", 10, 0.01, 0.0)
     assert lrs[0] == pytest.approx(0.01)
+
+
+def test_show_duster_pairs_headless(monkeypatch):
+    """Drive the interactive pair viewer (reference viz.py:90-113) with a
+    non-interactive backend and a mocked prompt."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from dust3r_tpu.viz import show_duster_pairs, cat
+
+    H, W = 8, 12
+    rng = np.random.default_rng(0)
+    n = 2
+    view = lambda: dict(instance=[str(k) for k in range(n)],
+                        idx=list(range(n)),
+                        img=rng.uniform(-1, 1, (n, H, W, 3)).astype(np.float32))
+    pred1 = dict(conf=1 + rng.uniform(0, 1, (n, H, W)).astype(np.float32),
+                 pts3d=rng.normal(size=(n, H, W, 3)).astype(np.float32))
+    pred2 = dict(conf=1 + rng.uniform(0, 1, (n, H, W)).astype(np.float32),
+                 pts3d_in_other_view=rng.normal(
+                     size=(n, H, W, 3)).astype(np.float32))
+    monkeypatch.setattr("builtins.input", lambda *a: "n")
+    show_duster_pairs(view(), view(), pred1, pred2)
+
+    assert cat(pred1["pts3d"][0], pred2["pts3d_in_other_view"][0]).shape \
+        == (2 * H * W, 3)
