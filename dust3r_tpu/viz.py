@@ -255,31 +255,34 @@ def cat(a, b):
                            np.asarray(b).reshape(-1, b.shape[-1])))
 
 
-def show_duster_pairs(view1, view2, pred1, pred2):
-    """Interactive per-pair debug viewer (reference viz.py:90-113): shows
-    each pair's images + confidence maps in matplotlib and optionally the
-    raw two-view pointcloud."""
+def show_duster_pairs(view1, view2, pred1, pred2, conf_range=(1, 30)):
+    """Interactive per-pair debug viewer (reference viz.py:90-113).
+
+    Steps through every pair in a raw inference output: left column shows
+    the two input images, right column their confidence maps (fixed
+    display range so confidences compare across pairs), and an optional
+    prompt opens the raw two-view pointcloud.
+    """
     import matplotlib.pyplot as pl
     pl.ion()
 
-    for e in range(len(view1["instance"])):
-        i, j = view1["idx"][e], view2["idx"][e]
-        img1, img2 = rgb(view1["img"][e]), rgb(view2["img"][e])
-        conf1 = np.asarray(pred1["conf"][e]).squeeze()
-        conf2 = np.asarray(pred2["conf"][e]).squeeze()
-        score = conf1.mean() * conf2.mean()
-        print(f">> Showing pair #{e} {i}-{j} {score=:g}")
+    n_pairs = len(view1["instance"])
+    for e in range(n_pairs):
+        imgs = [rgb(v["img"][e]) for v in (view1, view2)]
+        confs = [np.asarray(p["conf"][e]).squeeze() for p in (pred1, pred2)]
+        score = confs[0].mean() * confs[1].mean()
+        print(f">> Showing pair #{e} "
+              f"{view1['idx'][e]}-{view2['idx'][e]} {score=:g}")
         pl.clf()
-        pl.subplot(221).imshow(img1)
-        pl.subplot(223).imshow(img2)
-        pl.subplot(222).imshow(conf1, vmin=1, vmax=30)
-        pl.subplot(224).imshow(conf2, vmin=1, vmax=30)
-        pts1 = np.asarray(pred1["pts3d"][e])
-        pts2 = np.asarray(pred2["pts3d_in_other_view"][e])
+        for row, (im, cf) in enumerate(zip(imgs, confs)):
+            pl.subplot(2, 2, 2 * row + 1).imshow(im)
+            pl.subplot(2, 2, 2 * row + 2).imshow(cf, vmin=conf_range[0],
+                                                 vmax=conf_range[1])
         pl.subplots_adjust(0, 0, 1, 1, 0, 0)
         if input("show pointcloud? (y/n) ") == "y":
-            show_raw_pointcloud(cat(pts1, pts2), cat(img1, img2),
-                                point_size=5)
+            pts = [np.asarray(pred1["pts3d"][e]),
+                   np.asarray(pred2["pts3d_in_other_view"][e])]
+            show_raw_pointcloud(cat(*pts), cat(*imgs), point_size=5)
 
 
 def show_raw_pointcloud_with_cams(imgs, pts3d, mask, focals, cams2world,
