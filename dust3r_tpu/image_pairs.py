@@ -30,8 +30,12 @@ def build_edges(n, scene_graph="complete"):
                 j = i + off
                 if cyclic:
                     j = j % n
-                if j >= n or j == i:
+                if j >= n:
                     continue
+                # NOTE: when winsize >= n the cyclic wrap can land j == i;
+                # the reference keeps these self-pairs (its swin branch has
+                # no `j == i` guard, unlike logwin - image_pairs.py:18-33),
+                # so we do too.
                 edges.add((min(i, j), max(i, j)))
         return sorted(edges)
 

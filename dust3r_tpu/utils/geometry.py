@@ -297,7 +297,11 @@ def normalize_pointcloud(pts1, pts2=None, norm_mode="avg_dis", valid1=None,
             dis = jnp.log1p(dis)
         elif dis_mode == "warp-log1p":
             log_dis = jnp.log1p(dis)
-            warp = log_dis / jnp.clip(dis, 1e-8)
+            # the reference computes distances on invalid-ZEROED points
+            # (invalid_to_zeros), so its warp factor is 0 at invalid pixels
+            # and those output points come back zeroed; reproduce that
+            warp = jnp.where(all_mask, log_dis / jnp.clip(dis, 1e-8), 0.0)
+            log_dis = jnp.where(all_mask, log_dis, 0.0)
             n1 = flat1.shape[1]
             w1 = warp[:, :n1].reshape(pts1.shape[:-1] + (1,))
             pts1 = pts1 * w1
