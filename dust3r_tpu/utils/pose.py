@@ -46,6 +46,8 @@ def rotmat_to_quat(R):
     Branch-free (jit-safe) Shepperd-style extraction: build all four
     candidate quaternions and pick the numerically best one.
     """
+    if isinstance(R, np.ndarray):
+        return _rotmat_to_quat_np(R)
     R = jnp.asarray(R)
     m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
     m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
@@ -69,12 +71,45 @@ def rotmat_to_quat(R):
     return quat_normalize(q)
 
 
+def _rotmat_to_quat_np(R):
+    """Host (numpy) rotmat->quat in float64.
+
+    Init-time pose writes go through this path: the reference's chain
+    (roma/scipy) extracts quaternions in double precision, and fp32
+    extraction here was measured to leave a ~3e-4 error on raw pw_poses
+    rows — enough to float the post-init loss of init_from_known_poses
+    two orders of magnitude above the reference's (round-5 root cause,
+    scripts/debug_known_poses_init.py)."""
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw = np.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    qx = np.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], -1)
+    qy = np.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], -1)
+    qz = np.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], -1)
+
+    def wxyz_to_xyzw(q):
+        return np.concatenate([q[..., 1:], q[..., :1]], axis=-1)
+
+    cands = np.stack([wxyz_to_xyzw(qw), wxyz_to_xyzw(qx),
+                      wxyz_to_xyzw(qy), wxyz_to_xyzw(qz)], axis=-2)
+    scores = np.stack([1 + tr, 1 + m00 - m11 - m22,
+                       1 - m00 + m11 - m22, 1 - m00 - m11 + m22], axis=-1)
+    best = np.argmax(scores, axis=-1)
+    q = np.take_along_axis(
+        cands, np.repeat(best[..., None, None], 4, -1), axis=-2).squeeze(-2)
+    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
 def pose_vec_to_matrix(vec):
     """(..., >=7) [qx qy qz qw tx ty tz (log s)] -> (..., 4, 4) cam2world.
 
     Translation stored through signed_log1p; mirrors the reference's pose
     parametrization (base_opt.py:150-160).
     """
+    vec = jnp.asarray(vec)  # host float64 vecs (matrix_to_pose_vec) -> fp32
     q = quat_normalize(vec[..., :4])
     T = signed_expm1(vec[..., 4:7])
     R = quat_to_rotmat(q)
@@ -89,17 +124,21 @@ def matrix_to_pose_vec(M, scale=None, pose_dim=7):
 
     Returns (..., pose_dim(+1)) vector; if scale given appends log(scale) and
     divides translation by scale first (reference _set_pose, base_opt.py:162-181).
+
+    Host-only (init/preset writes): computes in float64 numpy — see
+    _rotmat_to_quat_np for why fp32 here is not enough.
     """
-    M = jnp.asarray(M)
-    q = rotmat_to_quat(M[..., :3, :3])
+    M = np.asarray(M, np.float64)
+    q = _rotmat_to_quat_np(M[..., :3, :3])
     T = M[..., :3, 3]
     if scale is not None:
         T = T / scale
-    t = signed_log1p(T)
-    vec = jnp.concatenate([q, t], axis=-1)
+    t = np.sign(T) * np.log1p(np.abs(T))
+    vec = np.concatenate([q, t], axis=-1)
     if scale is not None:
-        logs = jnp.log(jnp.broadcast_to(jnp.asarray(scale, dtype=M.dtype), M.shape[:-2] + (1,)))
-        vec = jnp.concatenate([vec, logs], axis=-1)
+        logs = np.log(np.broadcast_to(np.asarray(scale, np.float64),
+                                      M.shape[:-2] + (1,)))
+        vec = np.concatenate([vec, logs], axis=-1)
     return vec
 
 
@@ -118,32 +157,37 @@ def rigid_points_registration(pts1, pts2, weights=None, compute_scaling=True):
 
     pts: (N, 3); weights: (N,) nonnegative. Returns (s, R, T) with R (3,3),
     T (3,). Native replacement for roma.rigid_points_registration.
+
+    Host-only (aligner init / MST propagation): computes in float64 numpy,
+    matching the double-precision SVD of the reference chain — fp32 SVD
+    here measurably degrades the post-init consistency (round-5 root
+    cause, scripts/debug_known_poses_init.py).
     """
-    pts1 = jnp.asarray(pts1).reshape(-1, 3)
-    pts2 = jnp.asarray(pts2).reshape(-1, 3)
+    pts1 = np.asarray(pts1, np.float64).reshape(-1, 3)
+    pts2 = np.asarray(pts2, np.float64).reshape(-1, 3)
     if weights is None:
-        w = jnp.ones(pts1.shape[0], dtype=pts1.dtype)
+        w = np.ones(pts1.shape[0], np.float64)
     else:
-        w = jnp.asarray(weights).reshape(-1).astype(pts1.dtype)
-    wsum = jnp.clip(jnp.sum(w), 1e-12)
+        w = np.asarray(weights, np.float64).reshape(-1)
+    wsum = max(float(np.sum(w)), 1e-12)
     wn = (w / wsum)[:, None]
 
-    mu1 = jnp.sum(wn * pts1, axis=0)
-    mu2 = jnp.sum(wn * pts2, axis=0)
+    mu1 = np.sum(wn * pts1, axis=0)
+    mu2 = np.sum(wn * pts2, axis=0)
     c1 = pts1 - mu1
     c2 = pts2 - mu2
 
     cov = (wn * c1).T @ c2  # (3,3): sum_i w_i c1_i c2_i^T -> transposed below
-    U, S, Vt = jnp.linalg.svd(cov.T)  # cov.T maps pts1-space -> pts2-space
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
-    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], pts1.dtype)).at[2, 2].set(d)
-    R = U @ D @ Vt
+    U, S, Vt = np.linalg.svd(cov.T)  # cov.T maps pts1-space -> pts2-space
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.array([1.0, 1.0, d], np.float64)
+    R = (U * D) @ Vt
 
     if compute_scaling:
-        var1 = jnp.sum(wn * jnp.sum(c1 * c1, axis=-1, keepdims=True))
-        s = jnp.sum(S * jnp.diag(D)) / jnp.clip(var1, 1e-12)
+        var1 = np.sum(wn * np.sum(c1 * c1, axis=-1, keepdims=True))
+        s = np.sum(S * D) / max(float(var1), 1e-12)
     else:
-        s = jnp.asarray(1.0, pts1.dtype)
+        s = np.float64(1.0)
     T = mu2 - s * (R @ mu1)
     return s, R, T
 
@@ -156,14 +200,14 @@ def align_multiple_poses(src_poses, target_poses):
     """
     from .geometry import get_med_dist_between_poses
 
-    src_poses = jnp.asarray(src_poses)
-    target_poses = jnp.asarray(target_poses)
+    src_poses = np.asarray(src_poses, np.float64)
+    target_poses = np.asarray(target_poses, np.float64)
 
     def center_and_z(poses):
-        eps = get_med_dist_between_poses(np.asarray(poses)) / 100
+        eps = float(get_med_dist_between_poses(poses)) / 100
         centers = poses[:, :3, 3]
         zdir = poses[:, :3, 3] + eps * poses[:, :3, 2]
-        return jnp.concatenate([centers, zdir], axis=0)
+        return np.concatenate([centers, zdir], axis=0)
 
     s, R, T = rigid_points_registration(center_and_z(src_poses), center_and_z(target_poses))
     return s, R, T

@@ -197,7 +197,14 @@ def _torch_output(out_np):
     return dict(view1=view1, view2=view2, pred1=pred1, pred2=pred2)
 
 
-def _build_scenes(refco, n_imgs=4, seed=0):
+def _build_scenes(refco, n_imgs=4, seed=0, obs_dtype="float32"):
+    """Differential scenes default to fp32 observation storage: the
+    reference stores fp32, and our bf16 default carries a documented
+    ~4e-3 quantization floor (test_cloud_opt.py TestBf16ObsAccuracyDelta)
+    that would swamp sub-1e-3 loss comparisons. The bf16 default's floor
+    gets its own check (TestBf16DefaultFloor)."""
+    import jax.numpy as jnp
+
     from test_cloud_opt import make_synthetic_scene
 
     from dust3r_tpu.cloud_opt import GlobalAlignerMode, global_aligner
@@ -208,7 +215,8 @@ def _build_scenes(refco, n_imgs=4, seed=0):
         mode=refco.co.GlobalAlignerMode.PointCloudOptimizer, verbose=False)
     our_scene = global_aligner(out_np,
                                mode=GlobalAlignerMode.PointCloudOptimizer,
-                               verbose=False)
+                               verbose=False,
+                               obs_dtype=jnp.dtype(obs_dtype))
     return ref_scene, our_scene, poses, depths, focal
 
 
@@ -330,12 +338,14 @@ class TestAlignerInitEquality:
                                    rtol=5e-3, atol=5e-3)
         loss_ref = float(ref_scene())
         loss_ours = float(our_scene.forward())
-        # both are small on a consistent scene (not exactly 0: depths are
+        # both are tiny on a consistent scene (not exactly 0: depths are
         # seeded from the best-conf edge's predictions, which carry the
-        # fixture's per-image depth noise)
-        assert loss_ours < 5e-2 and loss_ref < 5e-2
-        assert np.isclose(loss_ours, loss_ref, rtol=5e-2, atol=1e-4), \
-            (loss_ours, loss_ref)
+        # fixture's per-image depth noise). Ours runs the init-time
+        # registrations/quat extraction in float64 (utils/pose.py) and
+        # lands BELOW the fp32-torch reference (2.3e-6 vs 7.3e-6 here);
+        # require the same order of consistency, not bit equality.
+        assert loss_ours < 1e-4 and loss_ref < 1e-4, (loss_ours, loss_ref)
+        assert loss_ours < 10 * loss_ref + 1e-7, (loss_ours, loss_ref)
 
     def test_mst_init_agreement(self, refco):
         ref_scene, our_scene, poses, depths, focal = _build_scenes(refco)
@@ -375,6 +385,17 @@ class TestAlignerOptimizationAgreement:
         # not identical trajectories
         assert loss_ref < 5e-3 and loss_ours < 5e-3, (loss_ref, loss_ours)
         assert loss_ours < 3 * loss_ref + 1e-4, (loss_ref, loss_ours)
+
+    def test_bf16_obs_default_converges_to_documented_floor(self, refco):
+        """The bf16 observation-storage DEFAULT (base_opt.py obs_dtype)
+        cannot converge below its ~4e-3 quantization floor
+        (test_cloud_opt.py TestBf16ObsAccuracyDelta); it must still land
+        within a small multiple of that floor on the clean scene — a
+        floor-aware bound, separate from the fp32-vs-fp32 differential."""
+        _, our_scene, *_ = _build_scenes(refco, obs_dtype="bfloat16")
+        loss_ours = our_scene.compute_global_alignment(
+            init="mst", niter=100, schedule="cosine", lr=0.01)
+        assert 1e-5 < loss_ours < 2e-2, loss_ours
 
 
 class TestPairViewerAgreement:
