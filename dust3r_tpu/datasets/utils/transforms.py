@@ -103,9 +103,27 @@ def ColorJitterAndNorm(img, rng=None):
 
         out = color_jitter_norm(arr, [n for n, _ in params],
                                 [f for _, f in params])
+        _log_jitter_path(out is not None)
         if out is not None:
             return out
     return ImgNorm(ColorJitter.apply_pil(img, params))
+
+
+_JITTER_PATH_LOGGED = False
+
+
+def _log_jitter_path(native):
+    """Record run provenance once: native-vs-PIL hue rotation differs
+    slightly (exact turn fraction vs [0,180) quantization), so training
+    streams are only bit-reproducible within one path."""
+    global _JITTER_PATH_LOGGED
+    if not _JITTER_PATH_LOGGED:
+        _JITTER_PATH_LOGGED = True
+        import sys
+
+        print("[dust3r_tpu] ColorJitter path: "
+              + ("native fastimg (float HSV)" if native
+                 else "PIL/cv2 fallback (uint8 HSV)"), file=sys.stderr)
 
 
 # Names accepted by the dataset DSL (reference train configs say e.g.

@@ -202,6 +202,9 @@ def _up2x_axis_lerp(x, axis):
 import os as _os
 
 _UPSAMPLE_IMPL = _os.environ.get("DUST3R_TPU_UPSAMPLE") or None
+if _UPSAMPLE_IMPL not in ("matmul", "lerp", None):  # typos must not silently
+    raise ValueError(  # fall back to 'matmul' and invalidate measurements
+        f"DUST3R_TPU_UPSAMPLE={_UPSAMPLE_IMPL!r}: expected 'matmul' or 'lerp'")
 
 
 def set_upsample_impl(impl):

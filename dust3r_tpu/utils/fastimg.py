@@ -20,6 +20,9 @@ _NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.dirname(
 _SRC_PATH = osp.join(_NATIVE_DIR, "fastimg.cpp")
 
 
+_SRC_HASH_CACHE = {}  # mtime/size -> sha1 tag (avoid re-hashing per call)
+
+
 def _lib_path():
     """Library filename versioned by a source hash. Two invariants this
     buys: (1) a kernel added to fastimg.cpp gets a NEW filename, so a
@@ -27,9 +30,32 @@ def _lib_path():
     glibc pathname cache (CDLL on a rewritten path returns the OLD
     handle); (2) no process ever overwrites a .so another process has
     mapped (rewriting a mapped file risks SIGBUS)."""
-    with open(_SRC_PATH, "rb") as f:
-        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    st = os.stat(_SRC_PATH)
+    key = (st.st_mtime_ns, st.st_size)
+    tag = _SRC_HASH_CACHE.get(key)
+    if tag is None:
+        with open(_SRC_PATH, "rb") as f:
+            tag = hashlib.sha1(f.read()).hexdigest()[:12]
+        _SRC_HASH_CACHE.clear()  # one live entry: keyed on current mtime
+        _SRC_HASH_CACHE[key] = tag
     return osp.join(_NATIVE_DIR, f"libfastimg-{tag}.so")
+
+
+def _prune_stale_builds(current_path):
+    """Best-effort unlink of libfastimg-*.so files from older source
+    revisions (they accumulate forever otherwise — one per source edit).
+    Never touches the current build; processes that already mmap'ed an
+    old build keep running (unlink doesn't unmap)."""
+    try:
+        for name in os.listdir(_NATIVE_DIR):
+            if (name.startswith("libfastimg-") and name.endswith(".so")
+                    and osp.join(_NATIVE_DIR, name) != current_path):
+                try:
+                    os.unlink(osp.join(_NATIVE_DIR, name))
+                except OSError:
+                    pass
+    except OSError:
+        pass
 
 
 def ensure_built(force=False):
@@ -51,6 +77,7 @@ def ensure_built(force=False):
                         "-fPIC", "-o", tmp, _SRC_PATH], check=True,
                        capture_output=True)
         os.replace(tmp, path)  # atomic publish
+        _prune_stale_builds(path)
         return path
     except Exception:
         if tmp is not None:

@@ -92,6 +92,11 @@ def test_two_process_cluster_matches_single_device(tmp_path):
         # and is still asserted below.
         sys.stderr.write("cluster attempt 1 failed (codes=%r); retrying "
                          "once for load flake\n" % (codes,))
+        # keep the first attempt's output visible in CI logs so a real
+        # intermittent failure masked by the retry can still be triaged
+        for rank, out in enumerate(outs):
+            sys.stderr.write(f"--- attempt-1 rank {rank} output ---\n"
+                             f"{out}\n")
         codes, outs = _run_cluster()
     for rank, (code, out) in enumerate(zip(codes, outs)):
         assert code == 0, f"rank {rank} failed:\n{out}"
