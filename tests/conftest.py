@@ -15,3 +15,22 @@ os.environ.setdefault("DUST3R_TPU_NO_PALLAS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute oracle/e2e files (excluded from the "
+        "quick hot-path suite)")
+    config.addinivalue_line(
+        "markers", "quick: the hot-path suite (`-m quick`, ~<5 min); "
+        "auto-applied to everything not marked slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    # `python -m pytest -m quick` = everything not explicitly marked slow.
+    # The FULL suite remains the pre-commit bar; quick is the dev loop.
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -6,6 +6,9 @@ from dust3r_tpu.cloud_opt import (global_aligner, GlobalAlignerMode,
 from dust3r_tpu.utils.geometry import (xy_grid, geotrf, inv,
                                        depthmap_to_absolute_camera_coordinates)
 
+# multi-minute file: excluded from the quick (-m quick) suite
+pytestmark = pytest.mark.slow
+
 
 def make_synthetic_scene(n_imgs=4, H=24, W=32, focal=40.0, seed=0,
                          symmetrize=True, edges=None):

@@ -23,6 +23,9 @@ import jax
 
 from dust3r_tpu.models.model import AsymmetricCroCo3DStereo
 
+# multi-minute file: excluded from the quick (-m quick) suite
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = osp.join(osp.dirname(__file__), "golden")
 
 TINY = dict(img_size=(32, 32), patch_size=16, enc_embed_dim=64, enc_depth=2,

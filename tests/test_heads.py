@@ -16,6 +16,9 @@ import pytest
 from dust3r_tpu.models.heads import upsample2x_align_corners
 from dust3r_tpu.models.model import AsymmetricCroCo3DStereo
 
+# multi-minute file: excluded from the quick (-m quick) suite
+pytestmark = pytest.mark.slow
+
 TINY = dict(img_size=(32, 48), patch_size=16, enc_embed_dim=64, enc_depth=2,
             enc_num_heads=2, dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
             attn_impl="ref")

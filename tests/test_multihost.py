@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# multi-minute file: excluded from the quick (-m quick) suite
+pytestmark = pytest.mark.slow
+
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 

@@ -14,6 +14,9 @@ from dust3r_tpu.inference import InferenceEngine, inference
 from dust3r_tpu.image_pairs import make_pairs
 from dust3r_tpu.cloud_opt import global_aligner, GlobalAlignerMode
 
+# multi-minute file: excluded from the quick (-m quick) suite
+pytestmark = pytest.mark.slow
+
 TINY = dict(img_size=(32, 32), patch_size=16, enc_embed_dim=64, enc_depth=2,
             enc_num_heads=2, dec_embed_dim=48, dec_depth=2, dec_num_heads=2,
             attn_impl="ref")

@@ -32,9 +32,9 @@ import pytest
 
 REF = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "dust3r")),
-    reason="reference mount unavailable")
+    reason="reference mount unavailable")]
 
 torch = pytest.importorskip("torch")
 

@@ -5,6 +5,7 @@ These are the ops SURVEY.md §7 flags as parity risks: align-corners
 interpolation, ConvTranspose semantics, pixel_shuffle ordering, patchify
 convolution, GELU flavor.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,9 @@ from einops import rearrange
 from dust3r_tpu.models.heads import upsample2x_align_corners, _PatchExpand
 from dust3r_tpu.models.blocks import gelu_exact
 from dust3r_tpu.ops.rope import apply_rope2d
+
+# multi-minute file: excluded from the quick (-m quick) suite
+pytestmark = pytest.mark.slow
 
 
 def nhwc(t):  # torch NCHW tensor -> numpy NHWC

@@ -10,6 +10,9 @@ import pytest
 import dust3r_tpu.training as training
 from test_datasets import SyntheticViews
 
+# multi-minute file: excluded from the quick (-m quick) suite
+pytestmark = pytest.mark.slow
+
 
 TINY_MODEL = ("AsymmetricCroCo3DStereo(pos_embed='RoPE100', "
               "img_size=(64, 64), head_type='linear', output_mode='pts3d', "

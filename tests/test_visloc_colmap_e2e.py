@@ -22,6 +22,9 @@ import numpy as np
 import PIL.Image
 import pytest
 
+# multi-minute file: excluded from the quick (-m quick) suite
+pytestmark = pytest.mark.slow
+
 # ---------------------------------------------------------------- scene
 W = H = 224
 F = 200.0           # SIMPLE_PINHOLE focal (colmap convention cx=cy=112)
