@@ -173,19 +173,30 @@ def _pad_imgs(proj, n_pad):
 
 
 def _group_xs(consts, proj):
-    """Scan inputs: the pre-chunked grouped consts plus matching
-    world-point chunks (host chunking makes every scan slice a zero-copy
+    """Scan inputs (a dict; every leaf is K-leading so lax.scan slices
+    chunks): the pre-chunked grouped consts plus matching world-point
+    chunks (host chunking makes every scan slice a zero-copy
     leading-axis index). Split-row scenes (see `_group_layout` g_cap)
     carry row->image maps instead of pre-sliced world points; the takes
-    happen inside the scan body against the full (3, N, A) points."""
-    obs = (consts["group_pred_i"], consts["group_w_i"],
-           consts["group_perm_i"], consts["group_pred_j"],
-           consts["group_w_j"], consts["group_perm_j"])
+    happen inside the scan body against the full (3, N, A) points.
+    int8-quantized scenes additionally carry the per-slot dequant
+    scales (see `_dequant`)."""
+    xs = {"pi": consts["group_pred_i"], "wi": consts["group_w_i"],
+          "mi": consts["group_perm_i"], "pj": consts["group_pred_j"],
+          "wj": consts["group_w_j"], "mj": consts["group_perm_j"]}
+    for k in ("pi", "wi", "pj", "wj"):
+        sk = {"pi": "group_pred_i_scale", "wi": "group_w_i_scale",
+              "pj": "group_pred_j_scale", "wj": "group_w_j_scale"}[k]
+        if sk in consts:
+            xs[k + "s"] = consts[sk]
     if "group_img_i" in consts:
-        return obs + (consts["group_img_i"], consts["group_img_j"])
+        xs["ii"] = consts["group_img_i"]
+        xs["ij"] = consts["group_img_j"]
+        return xs
     K, _, nc, _, A = consts["group_pred_i"].shape
-    proj_c = jnp.moveaxis(_pad_imgs(proj, K * nc).reshape(3, K, nc, A), 1, 0)
-    return obs + (proj_c,)
+    xs["proj"] = jnp.moveaxis(
+        _pad_imgs(proj, K * nc).reshape(3, K, nc, A), 1, 0)
+    return xs
 
 
 def _both_sides_term(spec, consts, poses, adapt, proj_i, proj_j,
@@ -196,15 +207,31 @@ def _both_sides_term(spec, consts, poses, adapt, proj_i, proj_j,
                             consts["total_area_j"]))
 
 
-def _chunk_projs(proj, args):
-    """Per-side world-point rows for one chunk's scan slice: either the
-    pre-sliced (3, nc, A) chunk (one row per image) or, for split-row
-    scenes, takes through the chunk's row->image maps."""
-    if len(args) == 8:  # split rows: (*obs6, img_i, img_j)
-        obs, (ii, ij) = args[:6], args[6:]
-        return obs, jnp.take(proj, ii, axis=1), jnp.take(proj, ij, axis=1)
-    obs, proj_c = args[:6], args[6]
-    return obs, proj_c, proj_c
+def _dequant(x, scale):
+    """Undo the int8 per-slot observation quantization: x int8
+    (..., A)-minor, scale fp32 broadcast over A. scale=None (bf16/fp32
+    observations) passes through — `_grouped_term` upcasts to fp32
+    itself. Running the dequant here, on one chunk at a time inside the
+    scan, keeps peak memory at the chunk size; the stored consts stay
+    int8 (half of bf16: the 16 GB-chip bound on scene size)."""
+    if scale is None:
+        return x
+    return x.astype(jnp.float32) * scale[..., None]
+
+
+def _chunk_projs(proj, xs):
+    """Observation 6-tuple (dequantized if int8) + per-side world-point
+    rows for one chunk's scan slice: either the pre-sliced (3, nc, A)
+    chunk (one row per image) or, for split-row scenes, takes through
+    the chunk's row->image maps."""
+    obs = (_dequant(xs["pi"], xs.get("pis")),
+           _dequant(xs["wi"], xs.get("wis")), xs["mi"],
+           _dequant(xs["pj"], xs.get("pjs")),
+           _dequant(xs["wj"], xs.get("wjs")), xs["mj"])
+    if "ii" in xs:  # split rows: row->image maps
+        return (obs, jnp.take(proj, xs["ii"], axis=1),
+                jnp.take(proj, xs["ij"], axis=1))
+    return obs, xs["proj"], xs["proj"]
 
 
 def alignment_loss(pts3d_fn, spec, params, consts):
@@ -231,12 +258,12 @@ def alignment_loss(pts3d_fn, spec, params, consts):
     xs = _group_xs(consts, proj)
 
     def body(acc, args):
-        def term_fn(*a):
+        def term_fn(a):
             obs, proj_i, proj_j = _chunk_projs(proj, a)
             return _both_sides_term(spec, consts, poses, adapt,
                                     proj_i, proj_j, *obs)
 
-        term = jax.checkpoint(term_fn)(*args)
+        term = jax.checkpoint(term_fn)(args)
         return acc + term, None
 
     loss, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
@@ -298,10 +325,9 @@ def alignment_value_and_grad(pts3d_fn, spec, params, consts):
 
     def body(acc, args):
         loss_acc, gp_acc, ga_acc = acc
-        *obs, proj_c = args
+        obs, proj_c, _ = _chunk_projs(proj, args)
         l, (gp, ga, gproj_c) = jax.value_and_grad(
-            chunk_term, argnums=(0, 1, 2))(poses, adapt, proj_c,
-                                           tuple(obs))
+            chunk_term, argnums=(0, 1, 2))(poses, adapt, proj_c, obs)
         return (loss_acc + l, gp_acc + gp, ga_acc + ga), gproj_c
 
     (loss, gposes, gadapt), gproj_c = jax.lax.scan(
@@ -344,8 +370,11 @@ class BasePCOptimizer:
         # distances are computed in fp32 either way, and recovery quality
         # matches fp32-obs within optimization noise
         # (tests/test_cloud_opt.py::TestBf16ObsAccuracyDelta). Pass
-        # jnp.float32 to pin exact-reference behavior.
+        # jnp.float32 to pin exact-reference behavior, or 'int8' to
+        # halve storage again for very large scenes (per-slot scaled
+        # symmetric quantization; TestInt8ObsAccuracyDelta).
         self.obs_dtype = obs_dtype
+        self.obs_quant = np.dtype(obs_dtype) == np.int8
         # above this many edges the loss scans image-grouped chunks
         # instead of materializing O(E * A) intermediates, so very large
         # graphs still fit a 16 GB chip. The flat path is fastest while
@@ -475,15 +504,35 @@ class BasePCOptimizer:
             return np.ascontiguousarray(g.reshape(K, nc, -1, A))
 
         self.consts = {
-            "group_pred_i": jnp.asarray(group_pred(pred_i, perm_i), odt),
-            "group_pred_j": jnp.asarray(group_pred(pred_j, perm_j), odt),
-            # pre-transformed conf weights; group padding has weight 0
-            "group_w_i": jnp.asarray(group_w(w_i, perm_i, valid_i), odt),
-            "group_w_j": jnp.asarray(group_w(w_j, perm_j, valid_j), odt),
             # group slot -> edge id, for the tiny pose/adaptor gathers
             "group_perm_i": jnp.asarray(perm_i.reshape(K, nc, -1)),
             "group_perm_j": jnp.asarray(perm_j.reshape(K, nc, -1)),
         }
+        grouped = {
+            "group_pred_i": group_pred(pred_i, perm_i),
+            "group_pred_j": group_pred(pred_j, perm_j),
+            # pre-transformed conf weights; group padding has weight 0
+            "group_w_i": group_w(w_i, perm_i, valid_i),
+            "group_w_j": group_w(w_j, perm_j, valid_j),
+        }
+        if self.obs_quant:
+            # int8 observation storage (opt-in, obs_dtype='int8'): half
+            # of bf16 — the 16 GB-chip bound on scene size — at a
+            # coarser quantization floor (symmetric per-slot max-abs,
+            # per coordinate PLANE for the preds so depth's larger range
+            # doesn't cost x/y precision; step = max|v|/127 ~ 0.8% of
+            # the slot range vs bf16's 0.4%-of-value; floor defended by
+            # tests/test_cloud_opt.py::TestInt8ObsAccuracyDelta).
+            for k, g in grouped.items():
+                s = np.maximum(np.abs(g).max(axis=-1), 1e-12) / 127.0
+                q = np.rint(g / s[..., None]).clip(-127, 127)
+                self.consts[k] = jnp.asarray(q.astype(np.int8))
+                self.consts[k + "_scale"] = jnp.asarray(
+                    s.astype(np.float32))
+        else:
+            for k, g in grouped.items():
+                self.consts[k] = jnp.asarray(g, odt)
+        del grouped
         if split:
             # row -> image maps (only present when groups were split; the
             # loss keys its layout branch on these)
@@ -499,8 +548,12 @@ class BasePCOptimizer:
             specs = {
                 "group_pred_i": PartitionSpec(None, None, axes),
                 "group_pred_j": PartitionSpec(None, None, axes),
+                "group_pred_i_scale": PartitionSpec(None, None, axes),
+                "group_pred_j_scale": PartitionSpec(None, None, axes),
                 "group_w_i": PartitionSpec(None, axes),
                 "group_w_j": PartitionSpec(None, axes),
+                "group_w_i_scale": PartitionSpec(None, axes),
+                "group_w_j_scale": PartitionSpec(None, axes),
                 "group_perm_i": PartitionSpec(None, axes),
                 "group_perm_j": PartitionSpec(None, axes),
                 "group_img_i": PartitionSpec(None, axes),

@@ -392,6 +392,84 @@ class TestBf16ObsAccuracyDelta:
         assert b["pose_err"] <= a["pose_err"] + 0.1
 
 
+class TestInt8ObsAccuracyDelta:
+    """obs_dtype='int8' halves observation storage vs bf16 — the 16 GB-
+    chip bound on single-chip scene size (complete@50 = 2450 edges:
+    7.7 GB bf16 vs 3.9 GB int8). Storage-side symmetric per-slot max-abs
+    quantization (per coordinate plane for the preds), dequantized chunk-
+    at-a-time inside the loss scan; distances stay fp32. Floor-aware
+    defense in the TestBf16ObsAccuracyDelta mold: the floor is coarser
+    (step = max|v|/127 of each slot's range), but user-visible
+    quantities must track fp32."""
+
+    def test_int8_vs_fp32_obs_deltas(self):
+        import jax.numpy as jnp
+
+        out, poses, depths, focal = make_synthetic_scene(n_imgs=4, seed=2)
+        res = {}
+        for dt in (jnp.float32, "int8"):
+            scene = global_aligner(
+                out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                verbose=False, obs_dtype=dt)
+            loss = scene.compute_global_alignment(init="mst", niter=150,
+                                                  schedule="cosine", lr=0.01)
+            est = np.asarray(scene.get_im_poses())
+            res[str(dt)] = dict(
+                loss=loss,
+                focal_err=np.abs(np.asarray(scene.get_focals()).reshape(-1)
+                                 - focal).max() / focal,
+                pose_err=max(angular_error_deg(
+                    relpose(poses[0], poses[k])[:3, :3],
+                    relpose(est[0], est[k])[:3, :3]) for k in range(1, 4)))
+        a, b = res[str(jnp.float32)], res["int8"]
+        # on a perfectly-consistent synthetic scene fp32 converges to a
+        # near-zero FLOOR; int8 floors at its observation quantization
+        # (~1e-2 on this scene: coarser than bf16's ~4e-3, as the
+        # 8-bit-of-range step predicts). The user-visible quantities
+        # must still match GT about as well as fp32 does.
+        assert b["loss"] < 0.03
+        assert b["focal_err"] <= a["focal_err"] + 0.01
+        assert b["pose_err"] <= a["pose_err"] + 0.3
+
+    def test_int8_consts_dequantize_within_step(self):
+        """Stored int8 consts must dequantize to within one quantization
+        step of the fp32 observations, slot by slot."""
+        import jax.numpy as jnp
+        from dust3r_tpu.cloud_opt.base_opt import _dequant
+
+        out, *_ = make_synthetic_scene(n_imgs=3, seed=0)
+        q = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                           verbose=False, obs_dtype="int8")
+        f = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                           verbose=False, obs_dtype=jnp.float32)
+        for k in ("group_pred_i", "group_pred_j", "group_w_i", "group_w_j"):
+            deq = np.asarray(_dequant(q.consts[k], q.consts[k + "_scale"]))
+            ref = np.asarray(f.consts[k], np.float32)
+            step = np.asarray(q.consts[k + "_scale"])[..., None]
+            assert np.all(np.abs(deq - ref) <= 0.5 * step + 1e-12), k
+
+    def test_int8_chunked_matches_flat(self):
+        """int8 storage must compose with the chunked scan: loss and
+        grads identical between flat (K=1) and chunked paths."""
+        import jax
+
+        out, *_ = make_synthetic_scene(n_imgs=6, seed=1)
+        ref = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False, obs_dtype="int8", edge_chunk=0)
+        chk = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False, obs_dtype="int8", edge_chunk=8)
+        params = dict(ref.params)
+        l_ref, g_ref = jax.value_and_grad(ref.loss_fn)(params,
+                                                       dict(ref.consts))
+        l_chk, g_chk = jax.value_and_grad(chk.loss_fn)(params,
+                                                       dict(chk.consts))
+        np.testing.assert_allclose(float(l_ref), float(l_chk), rtol=1e-6)
+        for k in g_ref:
+            np.testing.assert_allclose(np.asarray(g_ref[k]),
+                                       np.asarray(g_chk[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 class TestEdgeChunking:
     """Above edge_chunk edges, loss_fn scans rematerialized chunks so peak
     HBM stays O(chunk * A). Chunked and unchunked paths must agree on the
@@ -528,6 +606,31 @@ class TestMeshShardedEdges:
         K, nc, G = shd._n_img_groups
         assert (K, nc) == (1, 8)
         assert shd.consts["group_pred_i"].sharding.num_devices == 8
+        params = dict(ref.params)
+        l_ref, g_ref = jax.value_and_grad(ref.loss_fn)(params,
+                                                       dict(ref.consts))
+        l_shd, g_shd = jax.value_and_grad(shd.loss_fn)(params,
+                                                       dict(shd.consts))
+        np.testing.assert_allclose(float(l_ref), float(l_shd), rtol=1e-6)
+        for k in g_ref:
+            np.testing.assert_allclose(np.asarray(g_ref[k]),
+                                       np.asarray(g_shd[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+    def test_sharded_int8_obs_matches_single_device(self):
+        """int8 observation storage must compose with the mesh path: the
+        per-slot scales shard alongside their slots (same image-axis
+        specs), so sharded loss/grads must equal the single-device int8
+        path exactly (identical host-side quantization; padded rows
+        carry zero weights)."""
+        import jax
+        out, *_ = make_synthetic_scene(n_imgs=6)
+        ref = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False, edge_chunk=0, obs_dtype="int8")
+        shd = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
+                             verbose=False, mesh=self._mesh(),
+                             obs_dtype="int8")
+        assert shd.consts["group_pred_i_scale"].sharding.num_devices == 8
         params = dict(ref.params)
         l_ref, g_ref = jax.value_and_grad(ref.loss_fn)(params,
                                                        dict(ref.consts))
