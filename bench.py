@@ -7,8 +7,9 @@ folklore; see BASELINE.md "A100 baseline derivation". The 10x-A100
 north-star corresponds to value >= 100.
 
 Self-budgeting (VERDICT r3 item 1: BENCH_r03 was killed by the driver's
-timeout before printing its JSON line): the headline is measured FIRST,
-every further section is gated on remaining wall-clock budget
+timeout before printing its JSON line): the 60s chip yardstick runs
+first (r4 item 2: every record documents chip clock state), the headline
+is measured right after, and every further section is gated on budget
 (BENCH_BUDGET_S, default 660s), and the ONE JSON line is flushed by an
 atexit hook + SIGTERM/SIGINT handlers, so a timeout kill still yields a
 parsed record with whatever accumulated.
@@ -92,17 +93,27 @@ def _bench_params(model, H, W):
     """Build bf16 params once and reuse across buckets/batch sizes (params
     are shape-independent).
 
-    Shapes come from jax.eval_shape (pure host tracing, no device work)
-    and the values from ONE cheap fused on-device random fill. A real
-    `model.init` runs the whole forward on-device and was measured at
-    150-306 s through the tunneled chip — half the bench budget. Weight
-    VALUES are irrelevant to throughput on TPU (matmul/conv timing is
-    data-independent; no denormal slow paths on the MXU), and accuracy is
-    never read off these params (parity lives in tests/goldens)."""
+    ZERO-COMPILE by construction (the round-4 driver bench died here:
+    the previous on-device fill — one flat rng + 992 static slices in one
+    jitted program — cold-compiled for 882.5 s through the remote tunnel,
+    BENCH_r04, vs 6.8-61 s warm; a real `model.init` is worse still,
+    150-406 s of on-device forward). Shapes come from jax.eval_shape
+    (pure host tracing, no device work); values from ONE small host
+    random block, tiled per DISTINCT leaf shape and `jax.device_put`
+    once per shape — same-shape leaves (e.g. all 24 encoder layers)
+    share a single read-only device buffer, so the transfer is ~tens of
+    MB, not the ~1 GB of materialized params. Weight VALUES are
+    irrelevant to throughput on TPU (matmul/conv timing is
+    data-independent; no denormal slow paths on the MXU), and accuracy
+    is never read off these params (parity lives in tests/goldens)."""
     import jax
     import jax.numpy as jnp
 
-    key = id(type(model)), model.head_type
+    # key on the shape-determining fields (advisor r4: id(type)+head_type
+    # would silently alias two configs that differ only in dims)
+    key = (type(model).__name__, model.head_type, model.patch_size,
+           model.enc_embed_dim, model.enc_depth, model.dec_embed_dim,
+           model.dec_depth)
     if key in _PARAMS_CACHE:
         return _PARAMS_CACHE[key]
 
@@ -112,23 +123,27 @@ def _bench_params(model, H, W):
     var_shapes = jax.eval_shape(model.init, jax.random.PRNGKey(2),
                                 probe, probe)
     flat, treedef = jax.tree_util.tree_flatten(var_shapes)
-    sizes = [int(np.prod(s.shape)) if s.shape else 1 for s in flat]
-    offs = np.concatenate([[0], np.cumsum(sizes)])
 
-    @jax.jit
-    def make(k):
-        # ONE flat rng fill + static slices: a per-leaf rng (992 threefry
-        # ops) produced an HLO that took minutes to compile remotely.
-        # 0.02-scaled normals: sane activation magnitudes, bf16 storage
-        # (the same storage dtype the old init_bf16 produced).
-        base = 0.02 * jax.random.normal(k, (int(offs[-1]),), jnp.bfloat16)
-        return jax.tree_util.tree_unflatten(treedef, [
-            jax.lax.slice(base, (int(o),), (int(o) + n,)).reshape(s.shape)
-            for o, n, s in zip(offs[:-1], sizes, flat)])
-
-    params = make(jax.random.PRNGKey(2))
-    _ = float(jnp.sum(params["params"]["enc_norm"]["ln"]["scale"]))  # sync
-    log(f"make params: {time.perf_counter() - t0:.1f}s")
+    # 0.02-scaled normals: sane activation magnitudes, bf16 storage (the
+    # same storage dtype every previous round's bench params used).
+    block = (0.02 * np.random.default_rng(2).standard_normal(1 << 20)
+             ).astype(jnp.bfloat16)  # numpy bfloat16 via ml_dtypes
+    by_shape = {}
+    for s in flat:
+        if s.shape not in by_shape:
+            n = max(1, int(np.prod(s.shape)))
+            host = np.tile(block, -(-n // block.size))[:n].reshape(s.shape)
+            by_shape[s.shape] = jax.device_put(host)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [by_shape[s.shape] for s in flat])
+    # No strict device sync here: forcing one would need a compiled
+    # reduction (forbidden: this path must stay zero-compile) and the
+    # first forward call blocks on the transfers anyway — 'compile+first
+    # run' absorbs any transfer tail.
+    mb = sum(2 * max(1, int(np.prod(s))) for s in by_shape) / 1e6
+    log(f"make params: {time.perf_counter() - t0:.1f}s dispatch "
+        f"({len(flat)} leaves, {len(by_shape)} distinct shapes, "
+        f"{mb:.0f} MB sent, zero compiles)")
     _PARAMS_CACHE[key] = params
     return params
 
@@ -218,7 +233,7 @@ def bench_chip_gemm_tf_s(n=8192, iters=20):
     return 2 * n ** 3 / best / 1e12
 
 
-def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
+def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300, edge_chunk=None,
                                 graph="complete", dtypes=("fp32", "bf16"),
                                 mesh=False):
     """Global-alignment iterations/sec on a synthetic n-image scene.
@@ -261,6 +276,8 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
     )
     lrs = make_lr_schedule("cosine", niter, 0.01, 1e-6)
     extra_kw = {}
+    if edge_chunk is not None:
+        extra_kw["edge_chunk"] = edge_chunk
     if mesh:
         import jax
         from jax.sharding import Mesh
@@ -268,7 +285,8 @@ def bench_aligner_iters_per_sec(n_imgs=10, H=384, W=512, niter=300,
         extra_kw["mesh"] = Mesh(np.array(jax.devices()), ("edge",))
         log(f"aligner mesh: {len(jax.devices())}-way image-axis sharding")
     res = {}
-    all_dt = [(jnp.bfloat16, "bf16-obs"), (jnp.float32, "fp32-obs")]
+    all_dt = [(jnp.bfloat16, "bf16-obs"), (jnp.float32, "fp32-obs"),
+              ("int8", "int8-obs")]
     for obs_dtype, tag in [d for d in all_dt if d[1][:4] in dtypes]:
         scene = global_aligner(out,
                                mode=GlobalAlignerMode.PointCloudOptimizer,
@@ -387,11 +405,21 @@ def main():
     log(f"devices: {jax.devices()}  (budget {BUDGET_S:.0f}s)")
     aligner_mesh = "--mesh" in sys.argv  # multi-chip aligner mode
 
-    # -------- headline FIRST (everything else is gated extras) -------- #
+    # -------- chip-state yardstick FIRST (r4 verdict item 2): every ---- #
+    # record documents clock/throttle state before anything else, so the
+    # model numbers are always clock-normalizable. Its program is one
+    # matmul — trivially compiled even on a cold cache.
+    tf_s = _try("gemm yardstick", 75, bench_chip_gemm_tf_s)
+    if tf_s is not None:
+        RESULT["chip_gemm_tf_s"] = round(tf_s, 1)
+        log(f"chip gemm yardstick: {tf_s:.1f} TF/s "
+            f"(measured range on this chip: ~154-213)")
+
+    # -------- headline (everything after it is gated extras) ---------- #
     value = None
     good_bs = None
     for bs in (8, 4, 2, 1):
-        value = _try(f"headline bs={bs}", 200, bench_pairs_per_sec,
+        value = _try(f"headline bs={bs}", 180, bench_pairs_per_sec,
                      batch_size=bs)
         if value is not None:
             good_bs = bs
@@ -402,13 +430,6 @@ def main():
         RESULT["headline_config"] = (
             f"512_dpt 384x512 B={good_bs} bf16 compute, fp32 heads "
             "(the reference's AMP parity policy)")
-
-    # -------- extras, in value order, each budget-gated --------------- #
-    tf_s = _try("gemm yardstick", 60, bench_chip_gemm_tf_s)
-    if tf_s is not None:
-        RESULT["chip_gemm_tf_s"] = round(tf_s, 1)
-        log(f"chip gemm yardstick: {tf_s:.1f} TF/s "
-            f"(measured range on this chip: ~154-213)")
 
     if value is not None:
         # serving config: int8 block gemms + bf16 heads (measured +16%
@@ -490,6 +511,22 @@ def main():
     if res:
         RESULT["aligner_iters_per_sec_n25_fp32obs"] = round(
             res["fp32-obs"], 1)
+
+    # --big only: complete@50 (2450 edges), the scene size the r4
+    # verdict flagged. Benches the measured PRODUCTION point — bf16 obs
+    # @ edge_chunk=256 (8.3 it/s; chunk=768 OOMs at 19.98G/15.75G, and
+    # int8 obs is a memory lever only: 5.8 it/s at the same chunk —
+    # docs/DESIGN.md round-5 section). Opt-in: the host-side consts
+    # build alone is ~25 min on this 1-core container (raise
+    # BENCH_BUDGET_S accordingly).
+    if "--big" in sys.argv:
+        res = _try("aligner n=50 complete bf16-obs chunk=256", 1700,
+                   bench_aligner_iters_per_sec, n_imgs=50,
+                   graph="complete", dtypes=("bf16",), edge_chunk=256,
+                   clear_first=True)
+        if res:
+            RESULT["aligner_iters_per_sec_n50_complete"] = round(
+                res["bf16-obs"], 1)
 
     log(f"[done] total elapsed {elapsed():.0f}s")
     emit()

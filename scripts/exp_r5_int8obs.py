@@ -50,9 +50,20 @@ def main():
     )
     lrs = make_lr_schedule("cosine", niter, 0.01, 1e-6)
 
-    cases = [("bf16", jnp.bfloat16, 768),
-             ("int8", "int8", 768),
-             ("int8", "int8", 1536)]
+    # cases from argv as "<dtype>:<edge_chunk>" (default: the original
+    # round-5 trio); the follow-up sweep ran "bf16:256 int8:256 int8:512"
+    # — r3's 8.3 it/s n=50 production point was edge_chunk=256, so the
+    # honest bf16-vs-int8 comparison needs matched chunking.
+    name_to_dt = {"bf16": jnp.bfloat16, "fp32": jnp.float32, "int8": "int8"}
+    if len(sys.argv) > 1:
+        cases = []
+        for spec in sys.argv[1:]:
+            tag, chunk = spec.split(":")
+            cases.append((tag, name_to_dt[tag], int(chunk)))
+    else:
+        cases = [("bf16", jnp.bfloat16, 768),
+                 ("int8", "int8", 768),
+                 ("int8", "int8", 1536)]
     for tag, dt, chunk in cases:
         name = f"{tag}-obs chunk={chunk}"
         try:
