@@ -20,24 +20,19 @@ _NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.dirname(
 _SRC_PATH = osp.join(_NATIVE_DIR, "fastimg.cpp")
 
 
-_SRC_HASH_CACHE = {}  # mtime/size -> sha1 tag (avoid re-hashing per call)
-
-
 def _lib_path():
-    """Library filename versioned by a source hash. Two invariants this
-    buys: (1) a kernel added to fastimg.cpp gets a NEW filename, so a
+    """Library filename versioned by a source CONTENT hash. Two invariants
+    this buys: (1) a kernel added to fastimg.cpp gets a NEW filename, so a
     process that already dlopen'ed the old build never 'rebuilds' into the
     glibc pathname cache (CDLL on a rewritten path returns the OLD
     handle); (2) no process ever overwrites a .so another process has
-    mapped (rewriting a mapped file risks SIGBUS)."""
-    st = os.stat(_SRC_PATH)
-    key = (st.st_mtime_ns, st.st_size)
-    tag = _SRC_HASH_CACHE.get(key)
-    if tag is None:
-        with open(_SRC_PATH, "rb") as f:
-            tag = hashlib.sha1(f.read()).hexdigest()[:12]
-        _SRC_HASH_CACHE.clear()  # one live entry: keyed on current mtime
-        _SRC_HASH_CACHE[key] = tag
+    mapped (rewriting a mapped file risks SIGBUS). Always hashes the
+    bytes: an mtime/size-keyed cache can serve a stale tag after a
+    timestamp-preserving same-size copy (rsync -a / touch -r), and
+    hashing the ~10 KB source costs microseconds while `_load` is
+    memoized per process anyway."""
+    with open(_SRC_PATH, "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
     return osp.join(_NATIVE_DIR, f"libfastimg-{tag}.so")
 
 
@@ -92,18 +87,27 @@ def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    path = ensure_built()
-    if path is None:
-        _LIB = False
-        return False
-    try:
-        lib = ctypes.CDLL(path)
-        # the hash-versioned filename pins the binary to the current
-        # source, so a symbol can only be missing if the compile itself
-        # mis-produced — fall back to numpy rather than loop rebuilding
-        if not hasattr(lib, "color_jitter_norm_u8"):
-            raise OSError("built library is missing expected symbols")
-    except OSError:
+    lib = None
+    for attempt in range(2):
+        # attempt 2 forces a rebuild: another process may have published a
+        # newer build and pruned the .so between our ensure_built() and
+        # CDLL (source edited mid worker spawn) — without the retry that
+        # worker would silently run the numpy fallback for its lifetime
+        path = ensure_built(force=attempt > 0)
+        if path is None:
+            _LIB = False
+            return False
+        try:
+            lib = ctypes.CDLL(path)
+            # the hash-versioned filename pins the binary to the current
+            # source, so a symbol can only be missing if the compile
+            # itself mis-produced — fall back to numpy, don't loop
+            if not hasattr(lib, "color_jitter_norm_u8"):
+                raise OSError("built library is missing expected symbols")
+            break
+        except OSError:
+            lib = None
+    if lib is None:
         _LIB = False
         return False
     lib.color_jitter_norm_u8.argtypes = [

@@ -40,6 +40,37 @@ def quat_to_rotmat(q):
     return m.reshape(q.shape[:-1] + (3, 3))
 
 
+def _rotmat_to_quat_impl(R, xp):
+    """Shepperd-style branch-free extraction, shared by the jnp (in-graph)
+    and np (host float64) paths — `xp` is the array namespace. One body so
+    a candidate-table/sign-convention fix can never drift between the
+    device and host twins."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    tr = m00 + m11 + m22
+    # four candidates (unnormalized), keyed by which diagonal term dominates
+    qw = xp.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)  # w-major
+    qx = xp.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
+    qy = xp.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], axis=-1)
+    qz = xp.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], axis=-1)
+
+    # candidates give (w,x,y,z); reorder to (x,y,z,w)
+    def wxyz_to_xyzw(q):
+        return xp.concatenate([q[..., 1:], q[..., :1]], axis=-1)
+
+    cands = xp.stack([wxyz_to_xyzw(qw), wxyz_to_xyzw(qx),
+                      wxyz_to_xyzw(qy), wxyz_to_xyzw(qz)], axis=-2)  # (...,4cand,4)
+    scores = xp.stack([1 + tr, 1 + m00 - m11 - m22,
+                       1 - m00 + m11 - m22, 1 - m00 - m11 + m22], axis=-1)
+    best = xp.argmax(scores, axis=-1)
+    q = xp.take_along_axis(
+        cands, xp.repeat(best[..., None, None], 4, axis=-1),
+        axis=-2).squeeze(-2)
+    return q / xp.maximum(xp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
 def rotmat_to_quat(R):
     """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4) [x,y,z,w].
 
@@ -48,27 +79,7 @@ def rotmat_to_quat(R):
     """
     if isinstance(R, np.ndarray):
         return _rotmat_to_quat_np(R)
-    R = jnp.asarray(R)
-    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
-    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
-    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
-
-    tr = m00 + m11 + m22
-    # four candidates (unnormalized), keyed by which diagonal term dominates
-    qw = jnp.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)          # w-major
-    qx = jnp.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
-    qy = jnp.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], axis=-1)
-    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], axis=-1)
-    # candidates give (w,x,y,z); reorder to (x,y,z,w)
-    def wxyz_to_xyzw(q):
-        return jnp.concatenate([q[..., 1:], q[..., :1]], axis=-1)
-    cands = jnp.stack([wxyz_to_xyzw(qw), wxyz_to_xyzw(qx),
-                       wxyz_to_xyzw(qy), wxyz_to_xyzw(qz)], axis=-2)  # (...,4cand,4)
-    scores = jnp.stack([1 + tr, 1 + m00 - m11 - m22,
-                        1 - m00 + m11 - m22, 1 - m00 - m11 + m22], axis=-1)
-    best = jnp.argmax(scores, axis=-1)
-    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2).squeeze(-2)
-    return quat_normalize(q)
+    return _rotmat_to_quat_impl(jnp.asarray(R), jnp)
 
 
 def _rotmat_to_quat_np(R):
@@ -80,27 +91,7 @@ def _rotmat_to_quat_np(R):
     rows — enough to float the post-init loss of init_from_known_poses
     two orders of magnitude above the reference's (round-5 root cause,
     scripts/debug_known_poses_init.py)."""
-    R = np.asarray(R, np.float64)
-    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
-    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
-    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
-    tr = m00 + m11 + m22
-    qw = np.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)
-    qx = np.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], -1)
-    qy = np.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], -1)
-    qz = np.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], -1)
-
-    def wxyz_to_xyzw(q):
-        return np.concatenate([q[..., 1:], q[..., :1]], axis=-1)
-
-    cands = np.stack([wxyz_to_xyzw(qw), wxyz_to_xyzw(qx),
-                      wxyz_to_xyzw(qy), wxyz_to_xyzw(qz)], axis=-2)
-    scores = np.stack([1 + tr, 1 + m00 - m11 - m22,
-                       1 - m00 + m11 - m22, 1 - m00 - m11 + m22], axis=-1)
-    best = np.argmax(scores, axis=-1)
-    q = np.take_along_axis(
-        cands, np.repeat(best[..., None, None], 4, -1), axis=-2).squeeze(-2)
-    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return _rotmat_to_quat_impl(np.asarray(R, np.float64), np)
 
 
 def pose_vec_to_matrix(vec):

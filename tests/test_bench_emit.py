@@ -63,3 +63,19 @@ def test_plain_import_is_side_effect_free():
     assert r.returncode == 0, r.stderr
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
     assert lines == ["MARKER"], r.stdout
+
+
+def test_headline_force_runs_with_budget_exhausted():
+    """The headline sections pass force=True to _try: a record whose
+    `value` is 0.0 is worthless, so budget exhaustion (observed once as
+    a 2902 s tunnel wedge inside the first device op) must not skip
+    them. Non-forced sections still honor the gate."""
+    r = _run(
+        "import bench\n"
+        "bench.BUDGET_S = 0.0\n"                     # budget already gone
+        "assert bench._try('gated', 10, lambda: 42) is None\n"
+        "assert bench._try('forced', 10, lambda: 42, force=True) == 42\n"
+        "print('OK')\n"
+    )
+    assert r.returncode == 0, r.stderr
+    assert "OK" in r.stdout

@@ -6,8 +6,11 @@ from dust3r_tpu.cloud_opt import (global_aligner, GlobalAlignerMode,
 from dust3r_tpu.utils.geometry import (xy_grid, geotrf, inv,
                                        depthmap_to_absolute_camera_coordinates)
 
-# multi-minute file: excluded from the quick (-m quick) suite
-pytestmark = pytest.mark.slow
+# No file-level slow mark: the seconds-scale unit tests (consts layout,
+# int8 quantize/dequant, presets, optimizer accessors) stay in the quick
+# (-m quick) dev-loop suite; only the individually-marked multi-minute
+# alignment/equivalence runs are excluded (measured per-test in
+# /tmp/cloudopt_durations.log, round 5).
 
 
 def make_synthetic_scene(n_imgs=4, H=24, W=32, focal=40.0, seed=0,
@@ -448,6 +451,7 @@ class TestInt8ObsAccuracyDelta:
             step = np.asarray(q.consts[k + "_scale"])[..., None]
             assert np.all(np.abs(deq - ref) <= 0.5 * step + 1e-12), k
 
+    @pytest.mark.slow
     def test_int8_chunked_matches_flat(self):
         """int8 storage must compose with the chunked scan: loss and
         grads identical between flat (K=1) and chunked paths."""
@@ -494,6 +498,7 @@ class TestEdgeChunking:
                                        np.asarray(g_chk[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
 
+    @pytest.mark.slow
     def test_chunked_alignment_recovers(self):
         out, poses, depths, focal = make_synthetic_scene(n_imgs=6)
         scene = global_aligner(out, mode=GlobalAlignerMode.PointCloudOptimizer,
@@ -515,6 +520,7 @@ class TestSplitRowGroups:
     larger than group_cap split into capped rows mapped back through
     row->image indices; the math must be identical to the 1:1 layout."""
 
+    @pytest.mark.slow
     def test_forced_split_matches_legacy(self):
         import jax
         out, *_ = make_synthetic_scene(n_imgs=5)
@@ -535,6 +541,7 @@ class TestSplitRowGroups:
                                        np.asarray(g_spl[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
 
+    @pytest.mark.slow
     def test_forced_split_chunked_matches(self):
         import jax
         # group_cap=2 + tiny edge_chunk: the K>1 split scan path with the
@@ -556,6 +563,7 @@ class TestSplitRowGroups:
                                        np.asarray(g_chk[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
 
+    @pytest.mark.slow
     def test_star_graph_autosplits_and_recovers(self):
         # oneref star, symmetrized: hub 0 sits on every edge, so the 1:1
         # grouped layout would pad every image's row to G = n-1
@@ -595,6 +603,7 @@ class TestMeshShardedEdges:
         devs = np.array(jax.devices())
         return Mesh(devs, ("edge",))
 
+    @pytest.mark.slow
     def test_sharded_loss_and_grads_match(self):
         import jax
         out, poses, depths, focal = make_synthetic_scene(n_imgs=6)
@@ -642,6 +651,7 @@ class TestMeshShardedEdges:
                                        np.asarray(g_shd[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
 
+    @pytest.mark.slow
     def test_sharded_alignment_recovers(self):
         scene = global_aligner(out := make_synthetic_scene(n_imgs=6)[0],
                                mode=GlobalAlignerMode.PointCloudOptimizer,
@@ -652,6 +662,7 @@ class TestMeshShardedEdges:
         focals = np.asarray(scene.get_focals()).reshape(-1)
         np.testing.assert_allclose(focals, 40.0, rtol=0.05)
 
+    @pytest.mark.slow
     def test_sharded_split_rows_match(self):
         import jax
         # split-row layout (group_cap) under the mesh: rows shard, the
