@@ -415,8 +415,10 @@ def main():
         # --big opts into the n=50-complete section (est 1700s: ~25 min
         # of host consts build through this 1-core container) — raise
         # the default budget so the flag isn't a silent no-op; an
-        # explicit BENCH_BUDGET_S still wins.
-        BUDGET_S = max(BUDGET_S, 3000.0)
+        # explicit BENCH_BUDGET_S still wins. 3600 = worst-case regular
+        # sections (~1600s observed with a slow first device op) + 1700
+        # + slack.
+        BUDGET_S = max(BUDGET_S, 3600.0)
     log(f"devices: {jax.devices()}  (budget {BUDGET_S:.0f}s)")
     aligner_mesh = "--mesh" in sys.argv  # multi-chip aligner mode
 
