@@ -466,8 +466,12 @@ def main():
     # chip, scripts/exp_r4_levers2) - then the parity config.
     # bs=8 re-measured best under int8+bf16h (116.5 vs 106.4 pairs/s at
     # bs=16, interleaved confirm, scripts/exp_r4_sgbs.py; bs=24/32 worse)
+    # force=True: like the headline, this is a record-critical field
+    # (the >=10x claim) — a tunnel wedge that exhausts the budget must
+    # not gate it off; the driver's outer timeout is the real wall.
     v = _try("scene-graph serving", 90, bench_scene_graph, batch_size=8,
-             quantize="int8", head_dtype="bfloat16", clear_first=True)
+             quantize="int8", head_dtype="bfloat16", clear_first=True,
+             force=True)
     if v is not None:
         RESULT["scene_graph_pairs_per_sec_serving"] = round(v, 2)
         RESULT["scene_graph_vs_baseline"] = round(
