@@ -14,8 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def signed_log1p(x):
-    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
+def signed_log1p(x, xp=jnp):
+    """xp=np gives the host float64 twin (matrix_to_pose_vec) — one body
+    so the device/host forms can't drift."""
+    return xp.sign(x) * xp.log1p(xp.abs(x))
 
 
 def signed_expm1(x):
@@ -124,7 +126,7 @@ def matrix_to_pose_vec(M, scale=None, pose_dim=7):
     T = M[..., :3, 3]
     if scale is not None:
         T = T / scale
-    t = np.sign(T) * np.log1p(np.abs(T))
+    t = signed_log1p(T, xp=np)
     vec = np.concatenate([q, t], axis=-1)
     if scale is not None:
         logs = np.log(np.broadcast_to(np.asarray(scale, np.float64),
